@@ -1,0 +1,74 @@
+"""32-bit simhash fingerprints (reference helpers/simhash.py:5-51).
+
+Semantics to match exactly:
+- per word: ``h = crc64(word.encode('utf-8')) mod 2**32``; the 32 bits of
+  ``h`` (MSB first) vote +count / -count into a 32-lane accumulator
+- fingerprint bit i (MSB first) = 1 iff accumulator[i] > 0 (ties -> 0)
+- two pages are near-duplicates iff hamming distance <= THRESHOLD=5
+
+The accumulation is order-independent, so a batched/vectorized evaluation is
+exactly equivalent to the reference's insertion-order dict loop.
+
+Engine representation is a packed **int32-in-int64** (Spark LongType) so the
+near-dup join can use the JVM built-in ``bit_count(h1 ^ h2) <= 5``; the
+32-char '0'/'1' string form is provided for display/parity only
+(reference stores the string, simhash.py:26-28).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spacetime_crawler4_spark.functions.crc import crc64, crc64_batch
+
+SIMHASH_BITS = 32
+SIMHASH_THRESHOLD = 5  # reference helpers/simhash.py:3
+
+_BIT_POS = np.arange(SIMHASH_BITS - 1, -1, -1, dtype=np.uint64)  # MSB first
+_POW2 = (np.uint64(1) << _BIT_POS).astype(np.int64)
+
+# process-level memo: token -> 32-bit word hash (vocab is heavy-tailed;
+# the reference recomputes crc64 per page, we amortize across the batch)
+_WORDHASH_CACHE: dict[str, int] = {}
+
+
+def _word_hash32(word: str) -> int:
+    h = _WORDHASH_CACHE.get(word)
+    if h is None:
+        h = crc64(word.encode("utf-8")) & 0xFFFFFFFF
+        if len(_WORDHASH_CACHE) < 2_000_000:
+            _WORDHASH_CACHE[word] = h
+    return h
+
+
+def _prime_cache(words: list[str]) -> None:
+    missing = [w for w in words if w not in _WORDHASH_CACHE]
+    if not missing:
+        return
+    hashes = crc64_batch([w.encode("utf-8") for w in missing]) & np.uint64(0xFFFFFFFF)
+    for w, h in zip(missing, hashes.tolist()):
+        if len(_WORDHASH_CACHE) >= 2_000_000:
+            break
+        _WORDHASH_CACHE[w] = int(h)
+
+
+def simhash32(word_counts: dict[str, int]) -> int:
+    """Packed 32-bit simhash of a word-frequency map (0 for empty map)."""
+    if not word_counts:
+        return 0
+    _prime_cache(list(word_counts.keys()))
+    v = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for w, c in word_counts.items():
+        h = np.uint64(_word_hash32(w))
+        bits = ((h >> _BIT_POS) & np.uint64(1)).astype(np.int64)
+        v += np.where(bits == 1, c, -c)
+    return int(((v > 0).astype(np.int64) * _POW2).sum())
+
+
+def simhash32_str(word_counts: dict[str, int]) -> str:
+    """Reference string form: 32 chars of '0'/'1', MSB first."""
+    return format(simhash32(word_counts), f"0{SIMHASH_BITS}b")
+
+
+def hamming32(h1: int, h2: int) -> int:
+    return bin((h1 ^ h2) & 0xFFFFFFFF).count("1")

@@ -1,0 +1,69 @@
+import os
+import sys
+import types
+
+import pytest
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def ref():
+    """Import the reference's pure-Python helpers in-process (read-only).
+
+    These are the parity oracles for differential tests: tokenizer, crc32/64,
+    simhash, exhash, common_words, urlhash/normalize, Nurl depth recurrences.
+    (helpers/parser.py needs bs4 which is unavailable — the HTML plane is
+    covered by fixture-based tests instead.)
+    """
+    cwd = os.getcwd()
+    os.chdir(REF)  # contra_set/stopwords_set open rsrc/*.txt relative to cwd
+    sys.path.insert(0, REF)
+    try:
+        import helpers.common_words as common_words
+        import helpers.crc32 as crc32
+        import helpers.crc64 as crc64
+        import helpers.exhash as exhash
+        import helpers.simhash as simhash
+        import helpers.tokenize as tokenize
+        import helpers.word_count as word_count
+        import utils as ref_utils
+        from crawler2 import nurl
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(REF)
+    ns = types.SimpleNamespace(
+        tokenize=tokenize.tokenize,
+        word_count=word_count.word_count,
+        to_tokens=word_count.to_tokens,
+        crc32=crc32.crc32,
+        crc64=crc64.crc64,
+        simhash=simhash.simhash,
+        hamming_distance=simhash.hamming_distance,
+        compare_fingerprints=simhash.compare_fingerprints,
+        exhash=exhash.exhash,
+        common_words=common_words.common_words,
+        get_urlhash=ref_utils.get_urlhash,
+        normalize=ref_utils.normalize,
+        Nurl=nurl.Nurl,
+        compute_rel_dirdepth=nurl._compute_rel_dirdepth,
+    )
+    return ns
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("spacetime-crawler4-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
