@@ -1,0 +1,193 @@
+"""Deduplication operators for large-scale text corpora.
+
+All of these are pure DataFrame compositions (JVM built-ins, no Python on
+the hot path) except ``simhash_docs``, which deliberately reuses the
+reference-parity simhash UDF (reference helpers/simhash.py:5-28).
+
+Scale notes (the whole point of these formulations):
+- exact dedup       one hash-shuffle on a 16-byte key, map-side partial agg
+- shingling         explode is map-side only; ``array_distinct`` before
+                    explode keeps the shuffle volume at distinct-shingle
+                    cardinality
+- MinHash+LSH       k min-aggregations over one shingle pass; the band
+                    self-join touches only colliding (band, sig) buckets —
+                    O(candidates), never O(n²)
+- n-gram Jaccard    the shingle equi-join enumerates only pairs sharing a
+                    shingle; a length/prefix filter could bound it further
+- near-dup verify   exact Jaccard only on LSH candidates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sql_tokens(text: Column) -> Column:
+    """Lowercased word array — the SQL-expressible tokenizer used by the
+    corpus-analytics plane (the reference-parity tokenizer lives in the UDF
+    plane; this one is shared verbatim with the DuckDB oracles)."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9']+"), lambda x: x != "")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document. JVM-only."""
+    toks = sql_tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate buckets by content hash: (bucket, n_members, master_id).
+
+    Master = lowest id (deterministic election; in the crawl engine the same
+    window runs over (gen, seq) — SURVEY.md §2.5 W2). Only buckets with >1
+    member are returned. One shuffle on the hash key.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("bucket"), F.col(id_col).alias("id"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_members"), F.min("id").alias("master_id"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, *, min_jaccard: float | None = None, top_k: int | None = None
+) -> DataFrame:
+    """Pairwise word-shingle Jaccard: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``sh`` is a (id, shingle) distinct-shingle frame. The equi-join on
+    shingle enumerates only co-occurring pairs. Either threshold by
+    ``min_jaccard`` or return the global ``top_k`` (ordered desc, then ids).
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    if top_k is not None:
+        out = out.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(top_k)
+    return out
+
+
+def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
+    """(id, band, sig): k independent MinHash values per document.
+
+    Hash family: ``md5(band || ':' || shingle)`` — deterministic, portable
+    (the DuckDB oracle computes the identical family), uniform enough for
+    dedup. One shuffle: groupBy(id, band) with map-side partial min.
+    """
+    bands = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("band")
+    return (
+        sh.select("id", "shingle", bands)
+        .groupBy("id", "band")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    sh: DataFrame, k: int = 8, min_jaccard: float = 0.1
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    Band size 1 (k bands of one hash): collision prob per band = J, so
+    P(candidate) = 1-(1-J)^k — catches J>=0.25 with >90% at k=8. Candidates
+    are then exactly verified, so precision is 1.0 by construction; only
+    recall depends on k. Scale: the self-join touches only colliding
+    (band, sig) buckets.
+    """
+    sig = minhash_signatures(sh, k)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(sh, min_jaccard=min_jaccard)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, smhash, smhash_str): reference-parity 32-bit simhash per doc.
+
+    Uses the crawl engine's tokenizer + crc64 simhash UDFs (reference
+    helpers/simhash.py:5-28, helpers/tokenize.py:35-137) — not expressible
+    in ANSI SQL, so the driver records a rows-only check for this one.
+    """
+    from spacetime_crawler4_spark.operators.textplane import (
+        simhash_str_col,
+        simhash_udf,
+        token_features_udf,
+    )
+
+    out = df.select(
+        F.col(id_col).alias("id"), token_features_udf(F.col(text_col)).alias("tok")
+    ).select("id", simhash_udf(F.col("tok.words")).alias("smhash"))
+    return out.withColumn("smhash_str", simhash_str_col(F.col("smhash")))
+
+
+def simhash_near_pairs(sim: DataFrame, threshold: int = 5, bits: int = 32) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(smhash) <= threshold via
+    banded LSH (pigeonhole: threshold+1 bands ⇒ any pair within threshold
+    collides on ≥1 band) + exact ``bit_count`` verify. Never O(n²)."""
+    nbands = threshold + 1
+    width = (bits + nbands - 1) // nbands
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("smhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for i in range(nbands)
+            ]
+        )
+    ).alias("b")
+    banded = sim.select("id", "smhash", bands).select("id", "smhash", "b.band", "b.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.smhash").bitwiseXOR(F.col("b.smhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= threshold)
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (array<float>).
+
+JVM-only formulations: dot products via ``zip_with``/``aggregate`` stay in
+whole-stage codegen — no Python, no Arrow transfer. Two strategies:
+
+- brute force     exact top-k; query side broadcast, rank window partitioned
+                  by query id. Baseline and verifier.
+- IVF (cell probe) assign every vector to its nearest centroid once, then
+                  search only the query's cell — the scale path: the probe
+                  join is an equi-join on cell id, pruning (K-1)/K of data.
+
+Floats: all math in double with sequential fold order, so the DuckDB oracle
+(list_cosine_similarity over DOUBLE[]) reproduces results bit-for-bit before
+the final round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    ``queries`` (small) is broadcast against ``emb`` (large) — the cross
+    join is a BroadcastNestedLoopJoin streaming the big side once; ranking
+    is a window partitioned by query (shuffle on query_id only).
+    Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, cell): nearest-centroid assignment.
+
+    ``centroids`` is (cell:int, cvec:array) — tiny, broadcast. ``max_by``
+    aggregation picks the best cell without a window (single shuffle on
+    vec_id is avoided entirely: groupBy key is the vector's own id, and
+    AQE coalesces). Deterministic tie-break on lowest cell id via the
+    (cos, -cell) ordering struct.
+    """
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("ccos"),
+        )
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.max_by("cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))).alias("cell"),
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame, query_ids: DataFrame, k: int = 5
+) -> DataFrame:
+    """ANN top-k probing only the query's own cell.
+
+    (query_id, neighbor_id, cos, rank) — approximate: misses neighbors in
+    other cells (that is the documented recall trade-off; brute_force_topk
+    is the oracle to measure it). The probe is an equi-join on cell.
+    """
+    q = assigned.join(
+        query_ids.select(F.col("vec_id").alias("query_id")),
+        assigned.vec_id == F.col("query_id"),
+    ).select("query_id", F.col("embedding").alias("qvec"), F.col("cell").alias("qcell"))
+    scored = (
+        assigned.alias("e")
+        .join(F.broadcast(q), F.col("e.cell") == F.col("qcell"))
+        .filter(F.col("e.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("e.embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a, id_b, cos) with
+    cos >= min_cos, blocked by IVF cell so the pair join is an equi-join on
+    cell rather than a full cross join. Near-duplicates are by definition
+    extremely close, so same-cell blocking loses almost nothing; the recall
+    knob is the centroid count."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )

@@ -1,0 +1,137 @@
+"""The text plane as Spark operators — the byte-identical-parity surface.
+
+Three Arrow-batched pandas UDFs (SURVEY.md §2.10; reference citations inline):
+
+- ``parse_page_udf``     — HTML/sitemap parse → struct(links, text, sitemap)
+                           (reference helpers/parser.py:74-163)
+- ``token_features_udf`` — tokenize + word count + low-info stats
+                           (reference helpers/tokenize.py:35-137,
+                            helpers/word_count.py:8-35; stats feed the
+                            LOWINFO_POST predicate, workerpipe.py:38-40)
+- ``simhash_udf``        — packed 32-bit simhash over the word map
+                           (reference helpers/simhash.py:5-28)
+
+Everything downstream of these structs (filters, dedup joins, windows,
+aggregations) is pure JVM column expressions; the exact-dup hash is the
+``exhash_col`` built-in composition (no Python at all).
+
+Each UDF maps one Arrow batch with a plain ``for`` over the batch's rows of
+*documents* — the per-document work (an HTML parse, a tokenizer pass) is
+inherently per-document; what matters for scale is that batches cross the
+JVM/Python boundary as Arrow columns, not as pickled rows, and that the
+GIL-bound loop runs in parallel across executor cores.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spacetime_crawler4_spark.functions.exhash import exhash_col
+from spacetime_crawler4_spark.functions.htmltext import extract_page
+from spacetime_crawler4_spark.functions.simhash import simhash32
+from spacetime_crawler4_spark.functions.tokenizer import tokenize, word_count
+
+PARSE_SCHEMA = StructType(
+    [
+        StructField("links", ArrayType(StringType())),
+        StructField("text", StringType()),
+        StructField("sitemap", BooleanType()),
+    ]
+)
+
+TOKEN_SCHEMA = StructType(
+    [
+        StructField("tokens", ArrayType(StringType())),
+        StructField("words", MapType(StringType(), IntegerType())),
+        StructField("n_unique", IntegerType()),
+        StructField("n_total", LongType()),
+        StructField("max_count", IntegerType()),
+    ]
+)
+
+
+@pandas_udf(PARSE_SCHEMA)
+def parse_page_udf(url: pd.Series, html: pd.Series, content_type: pd.Series) -> pd.DataFrame:
+    """(url, html, content_type) -> (links sorted+deduped, text, sitemap).
+
+    ``text`` is the canonical ``"\\n".join(fragments)`` serialization — the
+    per-row byte-identical invariant vs the reference extractor
+    (BASELINE.json input_hint; helpers/parser.py:139-163).
+    """
+    links, texts, sitemaps = [], [], []
+    for u, h, ct in zip(url, html, content_type):
+        ex = extract_page(u, h or b"", ct or "text/html")
+        links.append(ex.links)
+        texts.append(ex.text)
+        sitemaps.append(ex.sitemap)
+    return pd.DataFrame({"links": links, "text": texts, "sitemap": sitemaps})
+
+
+@pandas_udf(TOKEN_SCHEMA)
+def token_features_udf(text: pd.Series) -> pd.DataFrame:
+    """text -> (tokens, word map, unique/total/max counts).
+
+    The three counts are emitted here so the LOWINFO_POST predicate
+    (workerpipe.py:38-40,250-254) stays a JVM filter on plain int columns
+    instead of re-walking the map.
+    """
+    toks_out, words_out, uniq, total, mx = [], [], [], [], []
+    for t in text:
+        toks = tokenize(t or "")
+        words = word_count(toks)
+        toks_out.append(toks)
+        words_out.append(words)
+        uniq.append(len(words))
+        total.append(len(toks))
+        mx.append(max(words.values()) if words else 0)
+    return pd.DataFrame(
+        {"tokens": toks_out, "words": words_out, "n_unique": uniq, "n_total": total, "max_count": mx}
+    )
+
+
+@pandas_udf(LongType())
+def simhash_udf(words: pd.Series) -> pd.Series:
+    """word map -> packed 32-bit simhash (reference helpers/simhash.py:5-28).
+
+    Returned as LongType so the near-dup join is the JVM built-in
+    ``bit_count(h1 ^ h2) <= 5`` (SURVEY.md §2.3 J5). Empty map -> 0.
+    """
+    return pd.Series([simhash32(dict(w) if w is not None else {}) for w in words], dtype="int64")
+
+
+def simhash_str_col(smhash: Column) -> Column:
+    """Reference display form: 32-char '0'/'1' string (simhash.py:26-28)."""
+    return F.lpad(F.bin(smhash), 32, "0")
+
+
+def with_text_plane(
+    df: DataFrame,
+    url: str = "url",
+    html: str = "html",
+    content_type: str = "content_type",
+) -> DataFrame:
+    """Attach the full text plane to a pages-shaped DataFrame.
+
+    Adds: exhash (pure JVM), parsed(links,text,sitemap), tok(tokens,words,
+    n_unique,n_total,max_count), smhash. One UDF invocation per plane —
+    Catalyst keeps each struct a single projection.
+    """
+    ct = F.col(content_type) if content_type in df.columns else F.lit("text/html")
+    out = df.withColumn("exhash", exhash_col(F.col(html)))
+    out = out.withColumn("parsed", parse_page_udf(F.col(url), F.col(html), ct))
+    out = out.withColumn("tok", token_features_udf(F.col("parsed.text")))
+    out = out.withColumn("smhash", simhash_udf(F.col("tok.words")))
+    return out

@@ -1,0 +1,121 @@
+"""Text analysis operators for training-data pipelines.
+
+All JVM column expressions (shared verbatim semantics with the DuckDB
+oracles): language-ID by marker-token voting, quality scoring, token
+counting, and a shingle-based document fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spacetime_crawler4_spark.operators.dedup import sql_tokens
+
+# tiny embedded stopword list for ratio features (deliberately small and
+# frozen — shared with the oracle SQL literal)
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# marker tokens per language for the heuristic language-ID vote
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "los", "que", "con"),
+    "de": ("der", "die", "und", "das", "mit"),
+    "fr": ("le", "la", "les", "et", "avec"),
+}
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counts: (doc_id, n_tokens, n_unique, avg_token_len)."""
+    toks = sql_tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring features per document.
+
+    (doc_id, n_tokens, n_unique, uniq_ratio, stopword_ratio, alnum_ratio,
+    quality_score) — score is a fixed linear blend, frozen so the oracle can
+    reproduce it: 0.5*uniq_ratio + 0.3*stopword_presence + 0.2*alnum_ratio.
+    """
+    toks = sql_tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    total = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n, F.lit(1))
+    alnum_ratio = alnum / total
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(0.5 * uniq_ratio + 0.3 * stop_ratio + 0.2 * alnum_ratio, 6).alias("quality_score"),
+    )
+
+
+def langid_heuristic(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, guess_lang, marker_hits): argmax of marker-token hits.
+
+    Vote = number of token occurrences in each language's marker set;
+    argmax with ties broken alphabetically, 'und' when zero hits.
+    Pure JVM: one explode + broadcast join against the tiny marker table.
+    """
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in LANG_MARKERS.items() for m in ms], ["cand_lang", "marker"]
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(sql_tokens(F.col(text_col))).alias("tok")
+    )
+    votes = (
+        toks.join(F.broadcast(markers), toks.tok == markers.marker)
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    # ties: highest hits, then alphabetically first language
+    mx = votes.groupBy("doc_id").agg(F.max("hits").alias("mh"))
+    at_max = votes.join(mx, "doc_id").filter(F.col("hits") == F.col("mh"))
+    winner = at_max.groupBy("doc_id").agg(
+        F.min("cand_lang").alias("guess_lang"), F.max("hits").alias("marker_hits")
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(winner, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("guess_lang"), F.lit("und")).alias("guess_lang"),
+            F.coalesce(F.col("marker_hits"), F.lit(0)).cast("long").alias("marker_hits"),
+        )
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 5
+) -> DataFrame:
+    """(doc_id, fingerprint): deterministic content fingerprint = the
+    minimum md5 over character n-gram shingles (k=1 MinHash). Equal texts
+    get equal fingerprints; near-equal texts collide with probability ≈
+    their shingle-set Jaccard. Portable to the SQL oracle verbatim."""
+    txt = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - (ngram - 1), F.lit(1))),
+        lambda i: txt.substr(i, F.lit(ngram)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
+    )

@@ -1,0 +1,765 @@
+"""Driver-contract query registry.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+The oracle SQL is ANSI/DuckDB SQL over the driver's pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings) and is written to be *semantically identical* — same
+tokenization regex, same hash family (md5), same double-precision fold
+order, same rounding — so the driver's order-insensitive value-hash check
+passes exactly, not approximately.
+
+Conventions shared by both sides:
+- every aggregate/computed column aliased identically
+- doubles rounded: money 2dp, similarity/ratios 6dp, big sums 4dp
+- DuckDB integer sums cast to BIGINT (DuckDB sum(int)->HUGEINT otherwise)
+- deterministic total order before every LIMIT (value desc, then keys)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import resources as _res
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spacetime_crawler4_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_docs,
+    simhash_near_pairs,
+    sql_tokens,
+    word_shingles,
+)
+from spacetime_crawler4_spark.operators.multimodal import extract_media_meta
+from spacetime_crawler4_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_pairs,
+    ivf_assign,
+    ivf_topk,
+)
+from spacetime_crawler4_spark.operators.textstats import (
+    LANG_MARKERS,
+    QUALITY_STOPWORDS,
+    doc_fingerprint,
+    langid_heuristic,
+    quality_features,
+    token_stats,
+)
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+# word-level tokenizer shared with every oracle (see operators/dedup.sql_tokens)
+_TOK_RE = "[^a-z0-9']+"
+_DUCK_TOKS = (
+    "[t for t in regexp_split_to_array(lower(text), '[^a-z0-9'']+') if t <> '']"
+)
+
+CENTROID_IDS = (0, 11, 23, 37, 41, 53, 67, 79)  # IVF coarse centroids (by vec_id)
+ANN_QUERY_MOD = 100  # query set = vec_id % 100 == 0
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _stopwords() -> list[str]:
+    txt = (_res.files("spacetime_crawler4_spark") / "resources" / "stopwords.txt").read_text()
+    return [w.strip() for w in txt.splitlines() if w.strip()]
+
+
+# --------------------------------------------------------------------------
+# report plane (reference report/report.py:21-98 — SURVEY.md §2.4-2.6)
+# --------------------------------------------------------------------------
+
+
+def q_report_top50_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+W1: global word counts, top-50 by freq desc then word asc
+    (reference helpers/common_words.py:4-29, report.py:76-78)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(sql_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= 3)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
+    )
+
+
+SQL_REPORT_TOP50 = f"""
+WITH toks AS (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+SELECT word, count(*) AS cnt FROM toks WHERE length(word) >= 3
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+"""
+
+
+def q_report_longest_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: argmax document by token total (reference report.py:48-54)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.size(sql_tokens(F.col("text"))).alias("n_words"))
+        .orderBy(F.desc("n_words"), F.asc("doc_id"))
+        .limit(1)
+    )
+
+
+SQL_REPORT_LONGEST = f"""
+SELECT doc_id, CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_words
+FROM documents ORDER BY n_words DESC, doc_id ASC LIMIT 1
+"""
+
+
+def q_report_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-source counts, name-sorted (reference report.py:35-41,83-85)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+SQL_REPORT_PER_SOURCE = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_report_lang_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: tallies per class (reference finish-code histogram analogue)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+SQL_REPORT_LANG = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_report_corpus_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: unique-page counts (reference report.py:26,70)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_REPORT_TOTALS = """
+SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_unique_docs,
+       count(DISTINCT source) AS n_sources FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup plane (SURVEY.md §2.3 J4/J5 + training-data dedup suite)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (J4 analogue on documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text").orderBy("bucket")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS bucket, count(*) AS n_members, min(doc_id) AS master_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY bucket
+"""
+
+
+def q_dedup_prefix_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a first-2-token prefix key — same operator shape as
+    q_dedup_exact but guaranteed non-trivial buckets on this corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = sql_tokens(F.col("text"))
+    keyed = docs.select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 2))).alias("bucket"),
+        F.col("doc_id").alias("id"),
+    )
+    return (
+        keyed.groupBy("bucket")
+        .agg(F.count("*").alias("n_members"), F.min("id").alias("master_id"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("bucket")
+    )
+
+
+SQL_DEDUP_PREFIX = f"""
+WITH keyed AS (
+  SELECT md5(array_to_string(({_DUCK_TOKS})[1:2], ' ')) AS bucket, doc_id AS id
+  FROM documents)
+SELECT bucket, count(*) AS n_members, min(id) AS master_id
+FROM keyed GROUP BY bucket HAVING count(*) > 1 ORDER BY bucket
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by word-3-gram Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(word_shingles(docs, "doc_id", "text", 3), top_k=20)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    for i in range(1, len(ts) - 1)])) AS shingle
+       FROM toks),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8, md5 family) + LSH candidates, exact-Jaccard verified."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    return minhash_lsh_pairs(sh, k=8, min_jaccard=0.05).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    for i in range(1, len(ts) - 1)])) AS shingle
+       FROM toks),
+sig AS (SELECT id, band,
+               min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+        GROUP BY id, band),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM sig a JOIN sig b
+           ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2),
+exact AS (SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+          FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05)
+SELECT c.id_a, c.id_b, e.jaccard FROM cand c JOIN exact e USING (id_a, id_b)
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash_refparity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity 32-bit simhash per document (crc64 family — not
+    SQL-expressible; driver records rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_docs(docs, "doc_id", "text").orderBy("id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup pairs over the parity simhash (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    sim = simhash_docs(docs, "doc_id", "text").select("id", "smhash")
+    return simhash_near_pairs(sim, threshold=5).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# text-analysis plane
+# --------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).orderBy("doc_id")
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS ts FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(ts) AS n_tokens,
+         len(list_distinct(ts)) AS n_unique,
+         len(list_distinct(ts)) * 1.0 / greatest(len(ts), 1) AS uniq_r,
+         len([t for t in ts if list_contains({_STOPLIST_SQL}, t)]) * 1.0
+             / greatest(len(ts), 1) AS stop_r,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS alnum_r
+  FROM base)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_unique AS INTEGER) AS n_unique,
+       round(uniq_r, 6) AS uniq_ratio, round(stop_r, 6) AS stopword_ratio,
+       round(alnum_r, 6) AS alnum_ratio,
+       round(0.5 * uniq_r + 0.3 * stop_r + 0.2 * alnum_r, 6) AS quality_score
+FROM feat ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return langid_heuristic(docs).orderBy("doc_id")
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{m}')" for lang, ms in LANG_MARKERS.items() for m in ms
+)
+
+SQL_TEXT_LANGID = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+m(cand_lang, marker) AS (VALUES {_MARKER_VALUES}),
+votes AS (SELECT doc_id, cand_lang, count(*) AS hits
+          FROM toks JOIN m ON tok = marker GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(hits) AS mh FROM votes GROUP BY 1),
+win AS (SELECT v.doc_id, min(v.cand_lang) AS guess_lang, max(v.hits) AS marker_hits
+        FROM votes v JOIN mx ON v.doc_id = mx.doc_id AND v.hits = mx.mh
+        GROUP BY v.doc_id)
+SELECT d.doc_id, coalesce(w.guess_lang, 'und') AS guess_lang,
+       CAST(coalesce(w.marker_hits, 0) AS BIGINT) AS marker_hits
+FROM documents d LEFT JOIN win w ON d.doc_id = w.doc_id ORDER BY d.doc_id
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics (aggregation over per-doc stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = token_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_TOKEN_STATS = f"""
+WITH per AS (SELECT doc_id, lang, len({_DUCK_TOKS}) AS n_tokens FROM documents)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens_per_doc
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).orderBy("doc_id")
+
+
+SQL_TEXT_FINGERPRINT = """
+WITH g AS (SELECT doc_id,
+                  unnest([substr(lower(text), i, 5)
+                          for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS gram
+           FROM documents)
+SELECT doc_id, min(md5(gram)) AS fingerprint FROM g GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity-search plane (embeddings)
+# --------------------------------------------------------------------------
+
+def _duck_cos(a: str, b: str) -> str:
+    """Inline DuckDB cosine matching operators/similarity.cosine exactly:
+    sequential-fold dot products in double, sqrt(na)*sqrt(nb) denominator."""
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _queries_df(emb), k=5).orderBy("query_id", "rank")
+
+
+SQL_ANN_BRUTE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+s AS (SELECT query_id, e.vec_id AS neighbor_id,
+             {_duck_cos("qv", "e.v")} AS cos
+      FROM q JOIN e ON e.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _centroids_df(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    ids = spark.createDataFrame(
+        [(cell, vid) for cell, vid in enumerate(CENTROID_IDS)], ["cell", "cvid"]
+    )
+    return (
+        emb.join(F.broadcast(ids), emb.vec_id == ids.cvid)
+        .select("cell", F.col("embedding").alias("cvec"))
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN: assign to nearest of 8 coarse centroids, search
+    only the query's cell. The scale path vs q_ann_bruteforce."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, _centroids_df(spark, emb))
+    return ivf_topk(assigned, _queries_df(emb).select("vec_id"), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_CENTROID_VALUES = ", ".join(f"({c}, {v})" for c, v in enumerate(CENTROID_IDS))
+
+SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cids(cell, cvid) AS (VALUES {_CENTROID_VALUES}),
+cent AS (SELECT cell, v AS cv FROM cids JOIN e ON e.vec_id = cids.cvid),
+scored AS (SELECT e.vec_id, e.v, cent.cell,
+                  {_duck_cos("e.v", "cent.cv")} AS ccos
+           FROM e CROSS JOIN cent),
+assigned AS (SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell ASC) AS rn FROM scored)
+    WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM assigned
+      WHERE vec_id % {ANN_QUERY_MOD} = 0),
+s AS (SELECT query_id, a.vec_id AS neighbor_id,
+             {_duck_cos("qv", "a.v")} AS cos
+      FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-cell-blocked (cos >= 0.35)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, _centroids_df(spark, emb), 0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cids(cell, cvid) AS (VALUES {_CENTROID_VALUES}),
+cent AS (SELECT cell, v AS cv FROM cids JOIN e ON e.vec_id = cids.cvid),
+scored AS (SELECT e.vec_id, e.v, cent.cell,
+                  {_duck_cos("e.v", "cent.cv")} AS ccos
+           FROM e CROSS JOIN cent),
+assigned AS (SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell ASC) AS rn FROM scored)
+    WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_duck_cos("a.v", "b.v")} AS cos
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# events plane (windows / event-time)
+# --------------------------------------------------------------------------
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+SQL_EVENTS_TOP_USERS = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id ORDER BY total_value DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts with a 30-minute inactivity gap (window
+    functions: lag + conditional running sum — SURVEY.md §2.5 class)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gaps = ev.withColumn(
+        "new_sess",
+        (epoch - F.coalesce(F.lag(epoch).over(w), F.lit(0)) > 1800).cast("int"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("new_sess")).cast("long").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - coalesce(
+                lag(CAST(floor(epoch(ts)) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+              > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# relational plane (TPC-H-ish: scans, joins, aggregations)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate with map-side partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join shape: orders ⋈ customer, top-10 by revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star shape: region ⋈ nation ⋈ customer ⋈ orders (dims
+    broadcast, fact streams)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_TPCH_REGION_REVENUE = """
+SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# crawl text plane on documents (reference-parity tokenizer — the flagship)
+# --------------------------------------------------------------------------
+
+
+def q_crawl_top50_parity_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: reference-parity tokenizer (helpers/tokenize.py:35-137)
+    over documents -> valid-word filter (report/report.py:15-19) -> global
+    top-50. The oracle reproduces it in SQL because these documents are
+    plain lowercase words: whitespace split + the vendored 174-word stopword
+    drop is then exactly the reference policy."""
+    from spacetime_crawler4_spark.operators.textplane import token_features_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(token_features_udf(F.col("text")).tokens).alias("word"))
+        .filter((F.length("word") >= 3) & F.col("word").rlike("[a-z]"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
+    )
+
+
+def _sql_crawl_top50() -> str:
+    stop = ", ".join("'" + w.replace("'", "''") + "'" for w in _stopwords())
+    return f"""
+WITH raw AS (SELECT unnest([t for t in regexp_split_to_array(lower(text), '\\s+')
+                            if t <> '']) AS word FROM documents)
+SELECT word, count(*) AS cnt FROM raw
+WHERE word NOT IN ({stop}) AND length(word) >= 3 AND regexp_matches(word, '[a-z]')
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plane (binary payload plumbing; stubbed decode)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents.text bytes as an opaque payload ->
+    mapInPandas metadata extraction (size/sha/stub-decoded dims). The
+    oracle reproduces the deterministic stub in SQL — it checks the Arrow
+    plumbing end-to-end, not a real codec."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_media_meta(media).orderBy("media_id")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha,
+       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       CAST(1 + (octet_length(encode(text)) // 640) % 480 AS INTEGER) AS height,
+       CASE WHEN length(text) = 0 THEN 'png'
+            WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'png'
+            ELSE 'jpeg' END AS format
+FROM documents ORDER BY media_id
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def registry() -> dict[str, tuple[SparkFn, str | None]]:
+    return {
+        "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
+        "report_longest_doc": (q_report_longest_doc, SQL_REPORT_LONGEST),
+        "report_docs_per_source": (q_report_docs_per_source, SQL_REPORT_PER_SOURCE),
+        "report_lang_tallies": (q_report_lang_tallies, SQL_REPORT_LANG),
+        "report_corpus_totals": (q_report_corpus_totals, SQL_REPORT_TOTALS),
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_prefix_buckets": (q_dedup_prefix_buckets, SQL_DEDUP_PREFIX),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+        "dedup_simhash_refparity": (q_dedup_simhash_refparity, None),
+        "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
+        "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+        "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+        "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+        "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+        "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+        "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTE),
+        "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+        "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+        "events_top_users": (q_events_top_users, SQL_EVENTS_TOP_USERS),
+        "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+        "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
+        "tpch_top_customers": (q_tpch_top_customers, SQL_TPCH_TOP_CUSTOMERS),
+        "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
+        "tpch_region_revenue": (q_tpch_region_revenue, SQL_TPCH_REGION_REVENUE),
+        "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
+        "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    }

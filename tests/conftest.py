@@ -52,6 +52,16 @@ def ref():
 
 
 @pytest.fixture(scope="session")
+def corpus_dir(tmp_path_factory):
+    """Session-scoped synthetic web corpus (pages/robots/seeds parquet)."""
+    from spacetime_crawler4_spark.sources.fixture import write_corpus
+
+    out = tmp_path_factory.mktemp("corpus")
+    write_corpus(str(out))
+    return str(out)
+
+
+@pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
 
