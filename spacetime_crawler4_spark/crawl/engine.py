@@ -1,0 +1,720 @@
+"""The wave-loop crawl engine: reference pipeline as declarative dataflow.
+
+Each wave is ONE logical DataFrame plan over the pending frontier
+(reference pipe order, crawler2/worker.py:27-121):
+
+    sift(F7) → domain init(S3/S4) → robots gate(F8) → fetch join(J2/S2)
+    → status/redirect/length filters(F9/F10/F11) → exact dedup(J4/W2)
+    → parse UDF(T1/T2) → tokenize UDF(T3-T5) + low-info(F12)
+    → simhash + LSH near-dup(J5) → link expansion(W3/C9/C10/F4-F6)
+    → seen-set anti-join(J1) → snapshot commit(S5)
+
+Scale design decisions (SURVEY.md §4):
+- fetch is an equi-join of the wave against the pages table (the corpus IS
+  the web in this graft); Catalyst/AQE pick the join strategy, skew-join
+  splitting enabled for mega-host waves
+- the URL-seen probe is a left_anti join on urlhash; runtime bloom filters
+  (spark.sql.optimizer.runtime.bloomFilter.enabled) prune the big side —
+  the broadcast-bloom/cuckoo upgrade path of the north rule
+- politeness is a *scheduling constraint, not a sleep*: per-wave per-domain
+  budget = wave_seconds / crawl_delay enforced with a rank window
+  partitioned by domain (reference's global+domain polite mutexes,
+  polmut.py:19-33, reproduced as budget counting — SURVEY.md §2.9)
+- ordering is data, not time: (gen, seq) keys make crawl order equal to the
+  reference's single-threaded FIFO (schema.py docstring)
+- per-wave driver state is O(small): only the within-wave simhash chain
+  graph is collected (bounded by wave near-dup density); everything else
+  stays distributed
+- frontier updates are copy-on-write unions committed per wave; lineage is
+  truncated with localCheckpoint (the Iceberg-snapshot analogue, store.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spacetime_crawler4_spark.crawl import schema as S
+from spacetime_crawler4_spark.crawl.schema import (
+    DOMAINS_SCHEMA,
+    FINISH,
+    FRONTIER_SCHEMA,
+    STATUS,
+    CrawlConfig,
+)
+from spacetime_crawler4_spark.crawl.store import SnapshotStore
+from spacetime_crawler4_spark.crawl.udfs import (
+    make_can_fetch_udf,
+    make_link_meta_udf,
+    make_robots_parse_udf,
+)
+from spacetime_crawler4_spark.functions.exhash import exhash_col
+from spacetime_crawler4_spark.functions.simhash import SIMHASH_BITS, SIMHASH_THRESHOLD
+from spacetime_crawler4_spark.operators.textplane import crawl_features_udf
+
+_EMPTY_WORDS = "cast(map() as map<string,int>)"
+_EMPTY_LINKS = "cast(array() as array<string>)"
+
+_FCOLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def _seq_child(seq_col, tag: str, ord_col):
+    return F.concat(seq_col, F.lit("." + tag), F.lpad(ord_col.cast("string"), 7, "0"))
+
+
+def _bands(hash_col, threshold: int = SIMHASH_THRESHOLD, bits: int = SIMHASH_BITS):
+    nbands = threshold + 1
+    width = (bits + nbands - 1) // nbands
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(hash_col, i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for i in range(nbands)
+            ]
+        )
+    )
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_path: str,
+        robots_path: str,
+        seeds: list[str],
+        config: CrawlConfig | None = None,
+        state_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.pages = spark.read.parquet(pages_path).select(
+            "url",
+            F.col("status").alias("page_status"),
+            "html",
+            "content_type",
+            "redirect_to",
+            F.coalesce("retry_after", F.lit(0)).alias("retry_after"),
+        )
+        self.robots_src = spark.read.parquet(robots_path).select(
+            "domain", F.col("status").alias("rstatus"), "body"
+        )
+        self.seeds = list(seeds)
+        self.store = SnapshotStore(state_dir) if state_dir else None
+        self.link_meta_udf = make_link_meta_udf(self.cfg.whitelist)
+        self.robots_parse_udf = make_robots_parse_udf(self.cfg.user_agent)
+        self.can_fetch_udf = make_can_fetch_udf(self.cfg.user_agent)
+        self.metrics: list[dict] = []
+        self.wave_no = 0
+        # cross-wave state keeps a bounded, stable partitioning: unioning
+        # per-wave deltas would otherwise grow the partition count (and the
+        # task count of every downstream join) without bound
+        self._nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.frontier: DataFrame | None = None
+        self.domains: DataFrame | None = None
+        self.exact_buckets: DataFrame | None = None
+        self.sim_index: DataFrame | None = None
+
+    # ------------------------------------------------------------- state
+    def init_state(self, resume: bool = False) -> None:
+        spark = self.spark
+        if resume and self.store is not None:
+            loaded = self.store.load_latest(spark)
+            if loaded is not None:
+                wave, tables, metrics = loaded
+                self.wave_no = wave + 1
+                # demote any IN_USE rows (frontier.py:212-242 semantics)
+                self.frontier = tables["frontier"].withColumn(
+                    "status",
+                    F.when(F.col("status") == STATUS.IN_USE, STATUS.NO_DOWN).otherwise(
+                        F.col("status")
+                    ),
+                )
+                self.domains = tables["domains"]
+                self.exact_buckets = tables["exact_buckets"]
+                self.sim_index = tables["sim_index"]
+                self.metrics = metrics
+                return
+        rows = []
+        for i, url in enumerate(self.seeds):
+            rows.append(
+                {
+                    "urlhash": S.urlhash(url),
+                    "url": url,
+                    "parent": None,
+                    "status": STATUS.NO_DOWN,
+                    "finish": FINISH.OK,
+                    "absdepth": 0,
+                    "reldepth": 0,
+                    "monodepth": 0,
+                    "dupdepth": 0,
+                    "words": {},
+                    "links": [],
+                    "exhash": None,
+                    "smhash": None,
+                    "gen": 0,
+                    "seq": S.seed_seq(i),
+                    "domain": S.domain_of(url),
+                    "retries": 0,
+                }
+            )
+        self.frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        self.domains = spark.createDataFrame([], DOMAINS_SCHEMA)
+        self.exact_buckets = spark.createDataFrame([], "exhash string, master string")
+        self.sim_index = spark.createDataFrame(
+            [], "smhash long, master string, mgen int, mseq string"
+        )
+        self.wave_no = 0
+
+    # ----------------------------------------------------- wave selection
+    def _select_wave(self, pending: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if cfg.wave_seconds is None and cfg.global_budget is None:
+            return pending
+        p = pending.join(
+            self.domains.select("domain", "crawl_delay"), "domain", "left"
+        )
+        if cfg.wave_seconds is not None:
+            delay = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay))
+            delay = F.when(delay <= 0, cfg.default_delay).otherwise(delay)
+            budget = F.greatest(
+                F.lit(1), F.floor(F.lit(cfg.wave_seconds) / delay)
+            )
+            rn = F.row_number().over(
+                Window.partitionBy("domain").orderBy("gen", "seq")
+            )
+            p = p.withColumn("_rn", rn).filter(F.col("_rn") <= budget).drop("_rn")
+        p = p.drop("crawl_delay")
+        if cfg.global_budget is not None:
+            p = p.orderBy("gen", "seq").limit(cfg.global_budget)
+        return p
+
+    # --------------------------------------------------------- wave body
+    def _finalize(self, df: DataFrame, **over) -> DataFrame:
+        cols = []
+        for name in _FCOLS:
+            cols.append((over[name] if name in over else F.col(name)).alias(name))
+        return df.select(*cols)
+
+    def run_wave(self, wave: DataFrame) -> tuple[DataFrame, DataFrame, dict]:
+        """Process one wave; returns (updated_rows, insert_rows, counters)."""
+        cfg = self.cfg
+        updated: list[DataFrame] = []
+        self._wave_caches: list[DataFrame] = []
+
+        # ---- F7 sift (workerpipe.py:42-57): finish=SIFTED, stays NO_DOWN
+        sift_cond = (
+            (F.col("absdepth") > S.MAX_ABSDEPTH)
+            | (F.col("reldepth") > S.MAX_RELDEPTH)
+            | (F.col("monodepth") > S.MAX_MONODEPTH)
+            | (F.col("dupdepth") > S.MAX_DUPDEPTH)
+        )
+        updated.append(self._finalize(wave.filter(sift_cond), finish=F.lit(FINISH.SIFTED)))
+        live = wave.filter(~sift_cond)
+
+        # ---- S3 domain init: robots fetch+parse for first-seen domains
+        trig = live.groupBy("domain").agg(
+            F.min(F.struct("gen", "seq")).alias("trig")
+        )
+        new_doms = trig.join(self.domains.select("domain"), "domain", "left_anti")
+        parsed_doms = (
+            new_doms.join(self.robots_src, "domain", "left")
+            .withColumn("r", self.robots_parse_udf(F.col("rstatus"), F.col("body")))
+            .select(
+                "domain",
+                "trig",
+                "body",
+                F.col("r.disallow_all").alias("disallow_all"),
+                F.col("r.allow_all").alias("allow_all"),
+                F.col("r.crawl_delay").alias("crawl_delay"),
+                F.col("r.sitemap_urls").alias("sitemap_urls"),
+            )
+        ).cache()
+        self._wave_caches.append(parsed_doms)
+        self.domains = (
+            self.domains.unionByName(
+                parsed_doms.select(
+                    "domain",
+                    "disallow_all",
+                    "allow_all",
+                    "crawl_delay",
+                    F.col("body").alias("rules_body"),
+                    "sitemap_urls",
+                )
+            )
+        ).coalesce(self._nparts).localCheckpoint(eager=False)
+
+        # ---- S4 sitemap seeding (frontier.py:165-176): fresh nurls at
+        # absdepth=1, parent = unhashed robots url, ordered before the
+        # trigger page's own children ('a' < 'b' < 'c')
+        sm_exp = parsed_doms.select(
+            "domain", "trig", F.posexplode("sitemap_urls").alias("pos", "sm_url")
+        )
+        sm_meta = sm_exp.withColumn(
+            "m", self.link_meta_udf(F.col("sm_url"), F.lit(None).cast("string"))
+        )
+        sitemap_inserts = sm_meta.select(
+            F.col("m.urlhash").alias("urlhash"),
+            F.col("sm_url").alias("url"),
+            F.concat(F.col("domain"), F.lit("/robots.txt")).alias("parent"),
+            F.lit(STATUS.NO_DOWN).alias("status"),
+            F.lit(FINISH.OK).alias("finish"),
+            F.lit(1).alias("absdepth"),
+            F.lit(0).alias("reldepth"),
+            F.lit(0).alias("monodepth"),
+            F.lit(0).alias("dupdepth"),
+            F.expr(_EMPTY_WORDS).alias("words"),
+            F.expr(_EMPTY_LINKS).alias("links"),
+            F.lit(None).cast("string").alias("exhash"),
+            F.lit(None).cast("long").alias("smhash"),
+            (F.col("trig.gen") + 1).alias("gen"),
+            _seq_child(F.col("trig.seq"), "a", F.col("pos")).alias("seq"),
+            F.col("m.domain").alias("domain"),
+            F.lit(0).alias("retries"),
+        )
+
+        # ---- F8 robots gate (workerpipe.py:61-82)
+        gated = live.join(
+            self.domains.select("domain", "rules_body", "disallow_all", "allow_all"),
+            "domain",
+            "left",
+        ).withColumn(
+            "_allowed",
+            self.can_fetch_udf(
+                F.col("url"), F.col("rules_body"), F.col("disallow_all"), F.col("allow_all")
+            ),
+        ).cache()
+        self._wave_caches.append(gated)
+        updated.append(
+            self._finalize(
+                gated.filter(~F.col("_allowed")),
+                finish=F.lit(FINISH.NOT_ALLOWED),
+                status=F.lit(STATUS.IS_DOWN),
+            )
+        )
+
+        # ---- S2/J2 fetch = equi-join against the pages corpus
+        fetched = gated.filter(F.col("_allowed")).join(self.pages, "url", "left")
+        has_page = F.col("page_status").isNotNull()
+        eff = F.when(F.col("retries") < F.col("retry_after"), 503).otherwise(
+            F.col("page_status")
+        )
+        fetched = fetched.withColumn("_eff", eff)
+
+        # retry loopback (workerpipe.py:110-127 as next-wave deferral; the
+        # (gen, seq) key keeps FIFO parity — schema.py)
+        retry_cond = F.coalesce(
+            has_page
+            & F.col("_eff").between(500, 511)
+            & (F.col("retries") < cfg.max_retries),
+            F.lit(False),
+        )
+        updated.append(
+            self._finalize(
+                fetched.filter(retry_cond), retries=F.col("retries") + 1
+            )
+        )
+        proc = fetched.filter(~retry_cond)
+
+        # ---- F9/F10/F11 pre-filters (workerpipe.py:131-195)
+        is_bad = F.coalesce(F.col("_eff").isin(401, 403, 404), F.lit(False))
+        is_cache = (~has_page) | F.col("_eff").between(600, 606)
+        is_redir = F.coalesce(F.col("_eff").between(300, 399), F.lit(False))
+        body_len = F.length(F.col("html"))
+        is_lowpre = (body_len < S.MIN_CONTENT_LEN) | (body_len > S.MAX_CONTENT_LEN)
+        klass = (
+            F.when(is_bad, "bad")
+            .when(is_cache, "cache")
+            .when(is_redir, "redir")
+            .when(is_lowpre, "lowpre")
+            .otherwise("content")
+        )
+        proc = proc.withColumn("_k", klass).cache()
+        self._wave_caches.append(proc)
+
+        updated.append(
+            self._finalize(
+                proc.filter(F.col("_k") == "bad"),
+                finish=F.lit(FINISH.BAD),
+                status=F.lit(STATUS.IS_DOWN),
+            )
+        )
+        updated.append(
+            self._finalize(
+                proc.filter(F.col("_k") == "cache"),
+                finish=F.lit(FINISH.CACHE_ERROR),
+                status=F.lit(STATUS.IS_DOWN),
+            )
+        )
+        updated.append(
+            self._finalize(
+                proc.filter(F.col("_k") == "lowpre"),
+                finish=F.lit(FINISH.LOWINFO_PRE),
+                status=F.lit(STATUS.IS_DOWN),
+            )
+        )
+
+        # redirect expansion (workerpipe.py:163-186): child inherits depths
+        # (NOT +1) and value-copies of words/links; parent gets child hash
+        # appended to links and finish=REDIRECT
+        redirs = proc.filter(F.col("_k") == "redir")
+        rch_src = redirs.filter(F.col("redirect_to").isNotNull()).withColumn(
+            "m", self.link_meta_udf(F.col("redirect_to"), F.lit(None).cast("string"))
+        )
+        redirect_children = rch_src.select(
+            F.col("m.urlhash").alias("urlhash"),
+            F.col("redirect_to").alias("url"),
+            F.col("parent").alias("parent"),
+            F.lit(STATUS.NO_DOWN).alias("status"),
+            F.lit(FINISH.OK).alias("finish"),
+            "absdepth",
+            "reldepth",
+            "monodepth",
+            "dupdepth",
+            "words",
+            "links",
+            F.lit(None).cast("string").alias("exhash"),
+            F.lit(None).cast("long").alias("smhash"),
+            (F.col("gen") + 1).alias("gen"),
+            _seq_child(F.col("seq"), "b", F.lit(0)).alias("seq"),
+            F.col("m.domain").alias("domain"),
+            F.lit(0).alias("retries"),
+        )
+        updated.append(
+            self._finalize(
+                redirs,
+                finish=F.lit(FINISH.REDIRECT),
+                status=F.lit(STATUS.IS_DOWN),
+                links=F.when(
+                    F.col("redirect_to").isNotNull(),
+                    F.concat(
+                        F.coalesce(F.col("links"), F.expr(_EMPTY_LINKS)),
+                        F.array(
+                            self.link_meta_udf(
+                                F.col("redirect_to"), F.lit(None).cast("string")
+                            )["urlhash"]
+                        ),
+                    ),
+                ).otherwise(F.col("links")),
+            )
+        )
+
+        # ---- J4/W2 exact dedup: prior buckets join + within-wave window
+        content = proc.filter(F.col("_k") == "content").withColumn(
+            "exhash", exhash_col(F.col("html"))
+        )
+        cb = content.join(
+            self.exact_buckets.withColumnRenamed("master", "_exmaster"),
+            "exhash",
+            "left",
+        )
+        updated.append(
+            self._finalize(
+                cb.filter(F.col("_exmaster").isNotNull()),
+                finish=F.lit(FINISH.TOO_EXACT),
+                status=F.lit(STATUS.IS_DOWN),
+            )
+        )
+        fresh_ex = cb.filter(F.col("_exmaster").isNull()).withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("exhash").orderBy("gen", "seq")),
+        )
+        updated.append(
+            self._finalize(
+                fresh_ex.filter(F.col("_rk") > 1),
+                finish=F.lit(FINISH.TOO_EXACT),
+                status=F.lit(STATUS.IS_DOWN),
+            )
+        )
+        masters = fresh_ex.filter(F.col("_rk") == 1).drop("_rk", "_exmaster")
+        self.exact_buckets = self.exact_buckets.unionByName(
+            masters.select("exhash", F.col("urlhash").alias("master"))
+        ).coalesce(self._nparts).localCheckpoint(eager=False)
+
+        # ---- T1/T2 parse + T3-T5 tokenize + F12 low-info + C4 simhash,
+        # fused into one Arrow round trip (crawl_features_udf)
+        pp = masters.withColumn(
+            "feat", crawl_features_udf(F.col("url"), F.col("html"), F.col("content_type"))
+        ).cache()
+        self._wave_caches.append(pp)
+        sm_rows = pp.filter(F.col("feat.sitemap"))
+        non_sm = pp.filter(~F.col("feat.sitemap"))
+        lowpost_cond = (
+            (F.col("feat.n_unique") < S.MIN_UNIQUE_WORDS)
+            | (F.col("feat.max_count") < S.MIN_MAX_WORD_COUNT)
+            | (F.col("feat.n_total") < S.MIN_WORDS)
+        )
+        updated.append(
+            self._finalize(
+                non_sm.filter(lowpost_cond),
+                finish=F.lit(FINISH.LOWINFO_POST),
+                status=F.lit(STATUS.IS_DOWN),
+                words=F.col("feat.words"),
+            )
+        )
+        good = non_sm.filter(~lowpost_cond).withColumn("smhash", F.col("feat.smhash"))
+
+        # ---- J5 near-dup: LSH vs master index, then within-wave chaining
+        sim_dup_hashes = self._simhash_stage(good).cache()
+        self._wave_caches.append(sim_dup_hashes)
+        sim_dups = good.join(sim_dup_hashes, "urlhash", "left_semi")
+        updated.append(
+            self._finalize(
+                sim_dups,
+                finish=F.lit(FINISH.TOO_SIMILAR),
+                status=F.lit(STATUS.IS_DOWN),
+                words=F.col("feat.words"),
+            )
+        )
+        ok_rows = good.join(sim_dup_hashes, "urlhash", "left_anti")
+
+        # ---- link expansion (W3 + C9/C10 + F4-F6) for OK content+sitemap
+        expand_src = ok_rows.select(
+            "urlhash", "url", "gen", "seq",
+            "absdepth", "reldepth", "monodepth", "dupdepth",
+            F.col("feat.links").alias("plinks"),
+        ).unionByName(
+            sm_rows.select(
+                "urlhash", "url", "gen", "seq",
+                "absdepth", "reldepth", "monodepth", "dupdepth",
+                F.col("feat.links").alias("plinks"),
+            )
+        )
+        ex = expand_src.select(
+            F.col("urlhash").alias("p_hash"),
+            F.col("url").alias("p_url"),
+            F.col("gen").alias("p_gen"),
+            F.col("seq").alias("p_seq"),
+            F.col("absdepth").alias("p_abs"),
+            F.col("reldepth").alias("p_rel"),
+            F.col("monodepth").alias("p_mono"),
+            F.col("dupdepth").alias("p_dup"),
+            F.posexplode("plinks").alias("pos", "child_url"),
+        ).withColumn("m", self.link_meta_udf(F.col("child_url"), F.col("p_url")))
+        valid = ex.filter(F.col("m.valid")).withColumn(
+            "_ord",
+            F.row_number().over(Window.partitionBy("p_hash").orderBy("pos")) - 1,
+        ).cache()
+        self._wave_caches.append(valid)
+        ddelta = F.col("m.ddelta")
+        children = valid.select(
+            F.col("m.urlhash").alias("urlhash"),
+            F.col("child_url").alias("url"),
+            F.col("p_hash").alias("parent"),
+            F.lit(STATUS.NO_DOWN).alias("status"),
+            F.lit(FINISH.OK).alias("finish"),
+            (F.col("p_abs") + 1).alias("absdepth"),
+            F.when(ddelta == 1, F.col("p_rel") + 1).otherwise(0).alias("reldepth"),
+            F.when(ddelta >= 1, F.col("p_mono") + 1).otherwise(0).alias("monodepth"),
+            F.when(ddelta == 0, F.col("p_dup") + 1).otherwise(0).alias("dupdepth"),
+            F.expr(_EMPTY_WORDS).alias("words"),
+            F.expr(_EMPTY_LINKS).alias("links"),
+            F.lit(None).cast("string").alias("exhash"),
+            F.lit(None).cast("long").alias("smhash"),
+            (F.col("p_gen") + 1).alias("gen"),
+            _seq_child(F.col("p_seq"), "c", F.col("_ord")).alias("seq"),
+            F.col("m.domain").alias("domain"),
+            F.lit(0).alias("retries"),
+        )
+        plinks_agg = (
+            valid.groupBy("p_hash")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", F.col("m.urlhash").alias("h")))
+                    ),
+                    lambda x: x["h"],
+                ).alias("_links")
+            )
+        )
+
+        def _with_links(df: DataFrame, extra_words=None) -> DataFrame:
+            j = df.join(plinks_agg, df.urlhash == plinks_agg.p_hash, "left")
+            over = {
+                "links": F.coalesce(F.col("_links"), F.expr(_EMPTY_LINKS)),
+                "status": F.lit(STATUS.IS_DOWN),
+                "finish": F.lit(FINISH.OK),
+            }
+            if extra_words is not None:
+                over["words"] = extra_words
+            return self._finalize(j, **over)
+
+        updated.append(_with_links(ok_rows, extra_words=F.col("feat.words")))
+        updated.append(_with_links(sm_rows))
+
+        # ---- J1 candidate dedup + seen-set anti-join
+        candidates = sitemap_inserts.unionByName(redirect_children).unionByName(children)
+        first_seen = (
+            candidates.groupBy("urlhash")
+            .agg(
+                F.min_by(
+                    F.struct(*[c for c in _FCOLS if c != "urlhash"]),
+                    F.struct("gen", "seq"),
+                ).alias("r")
+            )
+            .select("urlhash", "r.*")
+            .select(*_FCOLS)
+        )
+        inserts = first_seen.join(
+            self.frontier.select("urlhash"), "urlhash", "left_anti"
+        )
+
+        updates = updated[0]
+        for u in updated[1:]:
+            updates = updates.unionByName(u)
+        counters = {"wave": self.wave_no}
+        return updates, inserts, counters
+
+    # ------------------------------------------------- simhash wave stage
+    def _simhash_stage(self, good: DataFrame) -> DataFrame:
+        """Returns a one-column DF (urlhash) of TOO_SIMILAR rows this wave;
+        appends new masters to the sim_index.
+
+        Reference semantics (workerpipe.py:257-277): a page is a near-dup
+        iff its simhash is within hamming<=5 of an EXISTING MASTER bucket
+        (earliest-created matching bucket wins; dups never create buckets).
+        LSH banding is exact by pigeonhole (6 bands for <=5 differing bits),
+        so no candidate pair is missed. Within-wave chaining (who became a
+        master moments earlier) is resolved greedily in (gen, seq) order on
+        the collected candidate-pair graph — O(wave near-dup density) driver
+        work, the only driver-side state in the engine.
+        """
+        spark = self.spark
+        cand = good.select("urlhash", "gen", "seq", "smhash")
+        cband = cand.select("urlhash", "gen", "seq", "smhash", _bands(F.col("smhash")).alias("b"))
+        mband = self.sim_index.select(
+            "master", "smhash", _bands(F.col("smhash")).alias("b")
+        ).withColumnRenamed("smhash", "msmhash")
+
+        vs_masters = (
+            cband.alias("c")
+            .join(
+                mband.alias("m"),
+                (F.col("c.b.band") == F.col("m.b.band"))
+                & (F.col("c.b.val") == F.col("m.b.val")),
+            )
+            .filter(
+                F.bit_count(F.col("c.smhash").bitwiseXOR(F.col("msmhash")))
+                <= SIMHASH_THRESHOLD
+            )
+            .select(F.col("c.urlhash").alias("urlhash"))
+            .distinct()
+        ).cache()
+        self._wave_caches.append(vs_masters)
+        fresh = cand.join(vs_masters, "urlhash", "left_anti")
+
+        fband = fresh.select("urlhash", "gen", "seq", "smhash", _bands(F.col("smhash")).alias("b"))
+        pairs = (
+            fband.alias("a")
+            .join(
+                fband.alias("x"),
+                (F.col("a.b.band") == F.col("x.b.band"))
+                & (F.col("a.b.val") == F.col("x.b.val"))
+                & (
+                    F.struct(F.col("a.gen"), F.col("a.seq"))
+                    < F.struct(F.col("x.gen"), F.col("x.seq"))
+                ),
+            )
+            .filter(
+                F.bit_count(F.col("a.smhash").bitwiseXOR(F.col("x.smhash")))
+                <= SIMHASH_THRESHOLD
+            )
+            .select(
+                F.col("a.urlhash").alias("ha"),
+                F.col("a.gen").alias("ga"),
+                F.col("a.seq").alias("sa"),
+                F.col("x.urlhash").alias("hx"),
+                F.col("x.gen").alias("gx"),
+                F.col("x.seq").alias("sx"),
+            )
+            .distinct()
+            .collect()
+        )
+        # greedy master election in FIFO order over the (small) chain graph
+        nodes: dict[str, tuple] = {}
+        edges: dict[str, list[str]] = {}
+        for r in pairs:
+            nodes[r["ha"]] = (r["ga"], r["sa"])
+            nodes[r["hx"]] = (r["gx"], r["sx"])
+            edges.setdefault(r["hx"], []).append(r["ha"])
+        dups: set[str] = set()
+        masters_set: set[str] = set()
+        for h in sorted(nodes, key=lambda k: nodes[k]):
+            if any(e in masters_set for e in edges.get(h, [])):
+                dups.add(h)
+            else:
+                masters_set.add(h)
+        dup_df = spark.createDataFrame(
+            [(h,) for h in sorted(dups)], "urlhash string"
+        )
+        within_dups = dup_df
+        new_masters = fresh.join(within_dups, "urlhash", "left_anti")
+        self.sim_index = self.sim_index.unionByName(
+            new_masters.select(
+                "smhash",
+                F.col("urlhash").alias("master"),
+                F.col("gen").alias("mgen"),
+                F.col("seq").alias("mseq"),
+            )
+        ).coalesce(self._nparts).localCheckpoint(eager=False)
+        return vs_masters.unionByName(within_dups)
+
+    # ----------------------------------------------------------- the loop
+    def run(self, resume: bool = False) -> DataFrame:
+        if self.frontier is None:
+            self.init_state(resume=resume)
+        cfg = self.cfg
+        while self.wave_no < cfg.max_waves:
+            pending = self.frontier.filter(
+                (F.col("status") == STATUS.NO_DOWN) & (F.col("finish") == FINISH.OK)
+            )
+            wave = self._select_wave(pending).localCheckpoint(eager=True)
+            n = wave.count()
+            if n == 0:
+                break
+            updates, inserts, counters = self.run_wave(wave)
+            untouched = self.frontier.join(
+                wave.select("urlhash"), "urlhash", "left_anti"
+            )
+            # the single materialization point of the wave (snapshot commit
+            # analogue): everything upstream lands here once
+            self.frontier = (
+                untouched.unionByName(updates)
+                .unionByName(inserts)
+                .repartition(self._nparts, "urlhash")
+                .localCheckpoint(eager=True)
+            )
+            counters["n_wave"] = n
+            fin_counts = {
+                f"finish_{r['finish']}": r["count"]
+                for r in updates.groupBy("finish").count().collect()
+            }
+            counters.update(fin_counts)
+            self.metrics.append(counters)
+            # the state tables checkpoint lazily and may first materialize
+            # early next wave, so this wave's caches are released one wave
+            # later (after that materialization has happened)
+            for df in getattr(self, "_prev_wave_caches", []):
+                df.unpersist()
+            self._prev_wave_caches = self._wave_caches
+            self._wave_caches = []
+            if self.store is not None and (
+                (self.wave_no + 1) % cfg.checkpoint_every == 0
+            ):
+                self.store.commit(
+                    self.wave_no,
+                    {
+                        "frontier": self.frontier,
+                        "domains": self.domains,
+                        "exact_buckets": self.exact_buckets,
+                        "sim_index": self.sim_index,
+                    },
+                    self.metrics,
+                )
+            self.wave_no += 1
+        return self.frontier

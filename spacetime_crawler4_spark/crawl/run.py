@@ -1,0 +1,74 @@
+"""CLI: run a crawl end-to-end over a pages/robots/seeds parquet corpus.
+
+    python -m spacetime_crawler4_spark.crawl.run \
+        --pages .fixtures/pages.parquet --robots .fixtures/robots.parquet \
+        --seeds .fixtures/seeds.parquet --state /tmp/crawlstate \
+        --master 'local[8]' [--resume] [--wave-seconds 4.0] [--report]
+
+Submission shape on a real cluster: spark-submit --py-files of this package
+with --master yarn/k8s; the engine itself is master-agnostic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import pyarrow.parquet as pq
+
+from spacetime_crawler4_spark.crawl.engine import CrawlEngine
+from spacetime_crawler4_spark.crawl.schema import CrawlConfig
+from spacetime_crawler4_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--robots", required=True)
+    ap.add_argument("--seeds", required=True)
+    ap.add_argument("--state", default=None)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--wave-seconds", type=float, default=None)
+    ap.add_argument("--global-budget", type=int, default=None)
+    ap.add_argument("--max-waves", type=int, default=64)
+    ap.add_argument("--whitelist", default=".example-a.test,.example-b.test")
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args(argv)
+
+    seeds_tbl = pq.read_table(args.seeds).to_pylist()
+    seeds = [r["url"] for r in sorted(seeds_tbl, key=lambda r: r["seq"])]
+    whitelist = tuple(s for s in args.whitelist.split(",") if s) or None
+
+    spark = get_spark("crawl", master=args.master)
+    cfg = CrawlConfig(
+        whitelist=whitelist,
+        wave_seconds=args.wave_seconds,
+        global_budget=args.global_budget,
+        max_waves=args.max_waves,
+    )
+    eng = CrawlEngine(spark, args.pages, args.robots, seeds, cfg, state_dir=args.state)
+    t0 = time.time()
+    frontier = eng.run(resume=args.resume)
+    n = frontier.count()
+    wall = time.time() - t0
+    out = {
+        "frontier_urls": n,
+        "waves": eng.wave_no,
+        "wall_s": round(wall, 2),
+        "urls_per_sec": round(n / wall, 2) if wall > 0 else None,
+    }
+    if args.report:
+        from spacetime_crawler4_spark.crawl import report as R
+
+        out["totals"] = R.totals(frontier).collect()[0].asDict()
+        out["top_words"] = [
+            (r["word"], r["total"]) for r in R.top_words(frontier, 10).collect()
+        ]
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,51 @@ def simhash_udf(words: pd.Series) -> pd.Series:
     return pd.Series([simhash32(dict(w) if w is not None else {}) for w in words], dtype="int64")
 
 
+CRAWL_FEATURES_SCHEMA = StructType(
+    [
+        StructField("links", ArrayType(StringType())),
+        StructField("text", StringType()),
+        StructField("sitemap", BooleanType()),
+        StructField("words", MapType(StringType(), IntegerType())),
+        StructField("n_unique", IntegerType()),
+        StructField("n_total", LongType()),
+        StructField("max_count", IntegerType()),
+        StructField("smhash", LongType()),
+    ]
+)
+
+
+@pandas_udf(CRAWL_FEATURES_SCHEMA)
+def crawl_features_udf(url: pd.Series, html: pd.Series, content_type: pd.Series) -> pd.DataFrame:
+    """Fused crawl-path UDF: parse + tokenize + word-count + simhash in ONE
+    Arrow round trip (the split UDFs would ship the words map
+    JVM→Python→JVM again just to hash it). Sitemap rows skip tokenization
+    entirely (reference worker.py:95: sitemaps bypass process_text)."""
+    from spacetime_crawler4_spark.functions.simhash import simhash32
+
+    out = {k: [] for k in ("links", "text", "sitemap", "words", "n_unique", "n_total", "max_count", "smhash")}
+    for u, h, ct in zip(url, html, content_type):
+        ex = extract_page(u, h or b"", ct or "text/html")
+        out["links"].append(ex.links)
+        out["text"].append(ex.text)
+        out["sitemap"].append(ex.sitemap)
+        if ex.sitemap:
+            out["words"].append({})
+            out["n_unique"].append(0)
+            out["n_total"].append(0)
+            out["max_count"].append(0)
+            out["smhash"].append(0)
+        else:
+            toks = tokenize(ex.text)
+            words = word_count(toks)
+            out["words"].append(words)
+            out["n_unique"].append(len(words))
+            out["n_total"].append(len(toks))
+            out["max_count"].append(max(words.values()) if words else 0)
+            out["smhash"].append(simhash32(words))
+    return pd.DataFrame(out)
+
+
 def simhash_str_col(smhash: Column) -> Column:
     """Reference display form: 32-char '0'/'1' string (simhash.py:26-28)."""
     return F.lpad(F.bin(smhash), 32, "0")

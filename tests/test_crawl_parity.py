@@ -1,0 +1,158 @@
+"""Crawl-order + URL-seen-set parity: the wave engine vs the sequential
+reference-semantics oracle on the fixture corpus (SURVEY.md §5.3-5.4).
+
+Checks the north rule's core invariant: same seed list + politeness budget
+⇒ same crawl ordering and same final URL-seen set (status, finish, depths,
+words, links, exhash, smhash per urlhash)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacetime_crawler4_spark.crawl.engine import CrawlEngine
+from spacetime_crawler4_spark.crawl.schema import FINISH, STATUS, CrawlConfig
+from spacetime_crawler4_spark.crawl.seqoracle import SeqCrawler
+from spacetime_crawler4_spark.sources.fixture import FIXTURE_WHITELIST, SEED_URLS
+
+CFG = dict(whitelist=FIXTURE_WHITELIST)
+
+
+def _engine_state(frontier):
+    rows = frontier.collect()
+    return {r["urlhash"]: r.asDict() for r in rows}
+
+
+def _compare_states(eng, ora, *, ignore=("retries",)):
+    assert eng.keys() == ora.keys(), (
+        f"seen-set differs: engine-only={list(set(eng) - set(ora))[:5]} "
+        f"oracle-only={list(set(ora) - set(eng))[:5]}"
+    )
+    for h in sorted(eng):
+        e, o = dict(eng[h]), dict(ora[h])
+        e["words"] = dict(e["words"] or {})
+        for k in ignore:
+            e.pop(k, None)
+            o.pop(k, None)
+        assert e == o, f"row differs for {o['url']}:\n engine={e}\n oracle={o}"
+
+
+def _processed_order(state):
+    done = [
+        v
+        for v in state.values()
+        if v["status"] != STATUS.NO_DOWN or v["finish"] == FINISH.SIFTED
+    ]
+    return [v["url"] for v in sorted(done, key=lambda v: (v["gen"], v["seq"]))]
+
+
+@pytest.fixture(scope="module")
+def oracle_fifo(corpus_dir):
+    c = SeqCrawler(
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        SEED_URLS,
+        CrawlConfig(**CFG),
+        mode="fifo",
+    )
+    c.run()
+    return c
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, corpus_dir):
+    eng = CrawlEngine(
+        spark,
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        SEED_URLS,
+        CrawlConfig(**CFG),
+    )
+    frontier = eng.run()
+    return eng, _engine_state(frontier)
+
+
+def test_seen_set_and_rows_match_reference_fifo(engine_run, oracle_fifo):
+    _eng, estate = engine_run
+    _compare_states(estate, oracle_fifo.state())
+
+
+def test_crawl_order_matches_reference_fifo(engine_run, oracle_fifo):
+    """Engine (gen, seq) order == the oracle's literal FIFO processing
+    order (the oracle asserts FIFO == its own (gen, seq) sort)."""
+    _eng, estate = engine_run
+    fifo_urls = [u for _, _, u in oracle_fifo.visit_log]
+    # oracle visits every nurl once; engine 'processed' = same set
+    assert _processed_order(estate) == fifo_urls
+
+
+def test_structural_expectations(engine_run):
+    _eng, st = engine_run
+    by_url = {v["url"]: v for v in st.values()}
+    A = "http://www.example-a.test"
+    # exact-dup family: one master OK, two TOO_EXACT, control OK
+    fins = {f"{A}/exact/{k}": by_url[f"{A}/exact/{k}"]["finish"] for k in "012"}
+    assert sorted(fins.values()) == [FINISH.OK, FINISH.TOO_EXACT, FINISH.TOO_EXACT]
+    assert by_url[f"{A}/exact/ctrl"]["finish"] == FINISH.OK
+    # near-dup family: head OK, members TOO_SIMILAR, control not similar
+    assert by_url[f"{A}/near/0"]["finish"] == FINISH.OK
+    for i in range(1, 5):
+        assert by_url[f"{A}/near/{i}"]["finish"] == FINISH.TOO_SIMILAR, i
+    assert by_url[f"{A}/near/ctrl"]["finish"] != FINISH.TOO_SIMILAR
+    # robots: blocked host NOT_ALLOWED, private path NOT_ALLOWED
+    assert by_url["http://blocked.example-b.test/never"]["finish"] == FINISH.NOT_ALLOWED
+    assert by_url["http://deep.example-a.test/private/page"]["finish"] == FINISH.NOT_ALLOWED
+    # sitemap protocol reached the sitemap-only pages
+    assert by_url["http://www.example-b.test/sm/0"]["finish"] == FINISH.OK
+    # depth traps sifted
+    sifted = [u for u, v in by_url.items() if v["finish"] == FINISH.SIFTED]
+    assert any("/chain/" in u for u in sifted)
+    # redirects
+    assert by_url[f"{A}/redir/1"]["finish"] == FINISH.REDIRECT
+    assert by_url[f"{A}/redir/target"]["finish"] == FINISH.OK
+    # retry page eventually downloaded
+    assert by_url[f"{A}/retry/1"]["finish"] == FINISH.OK
+    assert by_url[f"{A}/retry/1"]["retries"] == 2
+    # off-whitelist / ftp / pdf never entered the frontier
+    assert "http://off.example-x.test/page" not in by_url
+    assert f"{A}/paper.pdf" not in by_url
+
+
+def test_budget_parity_with_wave_oracle(spark, corpus_dir):
+    """Politeness budgets: engine and wave-mode oracle under identical
+    per-domain budgets produce identical state (incl. retries) and order."""
+    cfg = CrawlConfig(wave_seconds=30.0, default_delay=0.5, **CFG)
+    ora = SeqCrawler(
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        SEED_URLS,
+        cfg,
+        mode="wave",
+    )
+    ora.run()
+    eng = CrawlEngine(
+        spark,
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        SEED_URLS,
+        cfg,
+    )
+    estate = _engine_state(eng.run())
+    _compare_states(estate, ora.state(), ignore=())
+    assert _processed_order(estate) == [u for _, _, u in ora.ordered_visits()]
+
+
+def test_resume_from_snapshot(spark, corpus_dir, tmp_path, engine_run):
+    """Kill after wave k, resume from snapshot ⇒ identical final state to
+    an uninterrupted run (frontier.py:212-242 semantics)."""
+    args = (
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        SEED_URLS,
+    )
+    _eng, full_state = engine_run
+
+    state_dir = str(tmp_path / "state")
+    part = CrawlEngine(spark, *args, CrawlConfig(max_waves=3, **CFG), state_dir=state_dir)
+    part.run()
+    resumed = CrawlEngine(spark, *args, CrawlConfig(**CFG), state_dir=state_dir)
+    resumed_state = _engine_state(resumed.run(resume=True))
+    _compare_states(resumed_state, full_state, ignore=())
