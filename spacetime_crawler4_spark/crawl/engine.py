@@ -669,7 +669,9 @@ class CrawlEngine:
         if self.frontier is None:
             self.init_state(resume=resume)
         cfg = self.cfg
-        while self.wave_no < cfg.max_waves:
+        waves_this_run = 0
+        while waves_this_run < cfg.max_waves:
+            waves_this_run += 1
             pending = self.frontier.filter(
                 (F.col("status") == STATUS.NO_DOWN) & (F.col("finish") == FINISH.OK)
             )

@@ -60,6 +60,11 @@ def tokenize(text: str) -> list[str]:
         if is_contraction(tok):
             out.append(tok)
             continue
+        if tok.isalnum():
+            # fast path: every char kept, no dots to split/strip, alnum
+            # guaranteed — identical to the general path's single-run emit
+            out.append(tok)
+            continue
         for kept, grp in groupby(tok, key=_kept):
             if kept:
                 _emit("".join(grp), out)

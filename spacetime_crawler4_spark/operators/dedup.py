@@ -32,14 +32,24 @@ def sql_tokens(text: Column) -> Column:
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-grams per document. JVM-only."""
+    """(id, shingle) — distinct word n-grams per document. JVM-only.
+
+    Built as n-1 chained ``zip_with`` passes over shifted ``slice``s of the
+    token array — strictly linear per document. (The tempting
+    ``transform(sequence(...), i -> element_at(toks, i+j))`` form is
+    quadratic after Catalyst's CollapseProject inlines the tokenizer split
+    into every element_at — measured 10× slower at 5k docs.)"""
     toks = sql_tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -109,31 +119,79 @@ def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def minhash_band_sigs(sh: DataFrame, k: int = 8, r: int = 2) -> DataFrame:
+    """(id, band_id, bsig): banded AND/OR MinHash signatures — each band
+    signature hashes ``r`` consecutive minhash values, so two docs collide
+    on a band with probability J^r. With b = k/r bands,
+    P(candidate) = 1-(1-J^r)^b: steep around the dedup threshold, tiny for
+    background similarity — this is what keeps candidate volume linear on
+    corpora where *everything* is mildly similar."""
+    sig = minhash_signatures(sh, k)
+    return (
+        sig.withColumn("band_id", (F.col("band") / r).cast("int"))
+        .groupBy("id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("band", "sig"))),
+                        lambda x: x["sig"],
+                    ),
+                )
+            ).alias("bsig")
+        )
+    )
+
+
 def minhash_lsh_pairs(
-    sh: DataFrame, k: int = 8, min_jaccard: float = 0.1
+    sh: DataFrame, k: int = 8, r: int = 2, min_jaccard: float = 0.5
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard.
 
-    Band size 1 (k bands of one hash): collision prob per band = J, so
-    P(candidate) = 1-(1-J)^k — catches J>=0.25 with >90% at k=8. Candidates
-    are then exactly verified, so precision is 1.0 by construction; only
-    recall depends on k. Scale: the self-join touches only colliding
-    (band, sig) buckets.
-    """
-    sig = minhash_signatures(sh, k)
-    a, b = sig.alias("a"), sig.alias("b")
+    k=8 hashes in 4 bands of 2: P(candidate) = 1-(1-J²)⁴ — ≈0.999 at
+    J=0.9, ≈0.04 at J=0.1. Precision is 1.0 by construction (exact verify);
+    only recall depends on (k, r). Scale: the self-join touches only
+    colliding (band_id, bsig) buckets, and the exact-Jaccard verify runs
+    ONLY on candidate pairs (shingles joined through the candidate list),
+    never on the full co-occurrence graph."""
+    bands = minhash_band_sigs(sh, k, r)
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(sh, min_jaccard=min_jaccard)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sha, cand.id_a == F.col("sa.id"))
+        .join(
+            shb,
+            (cand.id_b == F.col("sb.id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
 
 
 def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -227,10 +227,10 @@ ORDER BY jaccard DESC, id_a, id_b LIMIT 20
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8, md5 family) + LSH candidates, exact-Jaccard verified."""
+    """MinHash(k=8, md5 family) banded 4×2 + exact-Jaccard verify ≥0.5."""
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", 3)
-    return minhash_lsh_pairs(sh, k=8, min_jaccard=0.05).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5).orderBy("id_a", "id_b")
 
 
 SQL_DEDUP_MINHASH = f"""
@@ -243,17 +243,21 @@ sig AS (SELECT id, band,
                min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
         FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
         GROUP BY id, band),
+bands AS (SELECT id, CAST(band // 2 AS INTEGER) AS band_id,
+                 md5(string_agg(sig, '|' ORDER BY band)) AS bsig
+          FROM sig GROUP BY id, band // 2),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         FROM sig a JOIN sig b
-           ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.id < b.id),
 sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-          GROUP BY 1, 2),
-exact AS (SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-          FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
-          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05)
-SELECT c.id_a, c.id_b, e.jaccard FROM cand c JOIN exact e USING (id_a, id_b)
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.id = c.id_a
+          JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
 ORDER BY id_a, id_b
 """
 

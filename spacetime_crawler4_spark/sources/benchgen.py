@@ -48,7 +48,7 @@ def write_bench_corpus(
     urls, htmls, texts = [], [], []
 
     def page(url: str, links: list[str], nwords: int) -> None:
-        body_words = [rng.choice(_VOCAB) for _ in range(nwords)]
+        body_words = rng.choices(_VOCAB, k=nwords)
         body_words += body_words[:4]  # keep max word count >= 2
         text = " ".join(body_words)
         anchors = "".join(f'<a href="{l}">x{i}</a>' for i, l in enumerate(links))

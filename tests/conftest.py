@@ -62,6 +62,25 @@ def corpus_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def engine_frontier(spark, corpus_dir):
+    """One full engine crawl over the fixture corpus, shared by the parity
+    and report test modules (each engine run costs ~1.5 min)."""
+    from spacetime_crawler4_spark.crawl.engine import CrawlEngine
+    from spacetime_crawler4_spark.crawl.schema import CrawlConfig
+    from spacetime_crawler4_spark.sources.fixture import FIXTURE_WHITELIST, SEED_URLS
+
+    eng = CrawlEngine(
+        spark,
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        SEED_URLS,
+        CrawlConfig(whitelist=FIXTURE_WHITELIST),
+    )
+    frontier = eng.run()
+    return eng, frontier
+
+
+@pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
 

@@ -58,15 +58,8 @@ def oracle_fifo(corpus_dir):
 
 
 @pytest.fixture(scope="module")
-def engine_run(spark, corpus_dir):
-    eng = CrawlEngine(
-        spark,
-        f"{corpus_dir}/pages.parquet",
-        f"{corpus_dir}/robots.parquet",
-        SEED_URLS,
-        CrawlConfig(**CFG),
-    )
-    frontier = eng.run()
+def engine_run(engine_frontier):
+    eng, frontier = engine_frontier
     return eng, _engine_state(frontier)
 
 

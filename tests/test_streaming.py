@@ -1,0 +1,110 @@
+"""Structured Streaming surface: file-source ingestion through the fused
+text-plane UDF, watermarked windowed aggregation, and foreachBatch
+incremental crawling — all run to completion with availableNow triggers."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacetime_crawler4_spark.streaming.ingest import (
+    incremental_crawl_query,
+    stream_pages,
+    streaming_text_plane,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def drops_dir(corpus_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("drops")
+    shutil.copy(f"{corpus_dir}/pages.parquet", d / "drop-000.parquet")
+    return str(d)
+
+
+def test_streaming_text_plane_matches_batch(spark, corpus_dir, drops_dir, tmp_path):
+    st = streaming_text_plane(stream_pages(spark, drops_dir))
+    q = (
+        st.writeStream.format("memory")
+        .queryName("planed_stream")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["url"]: (r["n_tokens"], r["smhash"], r["n_links"])
+        for r in spark.sql("select * from planed_stream").collect()
+    }
+    from spacetime_crawler4_spark.operators.textplane import crawl_features_udf
+
+    batch = (
+        spark.read.parquet(f"{corpus_dir}/pages.parquet")
+        .select(
+            "url",
+            crawl_features_udf(F.col("url"), F.col("html"), F.col("content_type")).alias("f"),
+        )
+        .select("url", "f.n_total", "f.smhash", F.size("f.links").alias("nl"))
+    )
+    exp = {r["url"]: (r["n_total"], r["smhash"], r["nl"]) for r in batch.collect()}
+    assert got == exp
+
+
+def test_windowed_event_counts(spark, drops_dir, tmp_path):
+    st = streaming_text_plane(stream_pages(spark, drops_dir))
+    win = windowed_event_counts(st, window="60 minutes", watermark="2 hours")
+    q = (
+        win.writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from win_stream").collect()
+    # fixture warc_ts spans (2024-01-01 + minutes) -> several 1h windows;
+    # append mode emits only watermark-closed windows
+    assert sum(r["n_pages"] for r in rows) > 0
+    assert all(r["total_tokens"] >= 0 for r in rows)
+
+
+def test_incremental_crawl_foreachbatch(spark, corpus_dir, tmp_path, engine_frontier):
+    """Seeds arriving as a stream reproduce the batch crawl's final
+    frontier (same corpus, same seeds, state in the snapshot store)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spacetime_crawler4_spark.crawl.schema import CrawlConfig
+    from spacetime_crawler4_spark.sources.fixture import FIXTURE_WHITELIST, SEED_URLS
+
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    pq.write_table(
+        pa.table({"url": list(SEED_URLS)}), str(seeds_dir / "batch0.parquet")
+    )
+    seeds_stream = (
+        spark.readStream.schema("url string").option("maxFilesPerTrigger", 1).parquet(str(seeds_dir))
+    )
+    writer = incremental_crawl_query(
+        spark,
+        seeds_stream,
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        state_dir=str(tmp_path / "state"),
+        config=CrawlConfig(whitelist=FIXTURE_WHITELIST),
+        checkpoint_dir=str(tmp_path / "ck3"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(600)
+
+    from spacetime_crawler4_spark.crawl.store import SnapshotStore
+
+    loaded = SnapshotStore(str(tmp_path / "state")).load_latest(spark)
+    assert loaded is not None
+    _wave, tables, _m = loaded
+    got = {r["urlhash"]: (r["status"], r["finish"]) for r in tables["frontier"].collect()}
+    _eng, batch_frontier = engine_frontier
+    exp = {r["urlhash"]: (r["status"], r["finish"]) for r in batch_frontier.collect()}
+    assert got == exp
