@@ -185,10 +185,28 @@ class CrawlEngine:
             budget = F.greatest(
                 F.lit(1), F.floor(F.lit(cfg.wave_seconds) / delay)
             )
-            rn = F.row_number().over(
+            # two-phase exact per-domain top-budget: phase 1 ranks within
+            # (domain, salt) so a mega-host's pending rows never serialize
+            # into one window task (domain-salted repartitioning); phase 2
+            # ranks the <= SALTS x budget survivors exactly. The union of
+            # per-salt top-B contains the global per-domain top-B, so the
+            # selection is identical to a single unsalted window.
+            SALTS = 16
+            salt = F.pmod(F.xxhash64("urlhash"), F.lit(SALTS))
+            rn1 = F.row_number().over(
+                Window.partitionBy("domain", "_salt").orderBy("gen", "seq")
+            )
+            rn2 = F.row_number().over(
                 Window.partitionBy("domain").orderBy("gen", "seq")
             )
-            p = p.withColumn("_rn", rn).filter(F.col("_rn") <= budget).drop("_rn")
+            p = (
+                p.withColumn("_salt", salt)
+                .withColumn("_rn1", rn1)
+                .filter(F.col("_rn1") <= budget)
+                .withColumn("_rn2", rn2)
+                .filter(F.col("_rn2") <= budget)
+                .drop("_salt", "_rn1", "_rn2")
+            )
         p = p.drop("crawl_delay")
         if cfg.global_budget is not None:
             p = p.orderBy("gen", "seq").limit(cfg.global_budget)
@@ -680,6 +698,19 @@ class CrawlEngine:
             if n == 0:
                 break
             updates, inserts, counters = self.run_wave(wave)
+            # finish-code histogram rides the materialization job as an
+            # Observation (accumulator-backed) — no extra pass
+            from pyspark.sql import Observation
+
+            obs = Observation(f"wave-{self.wave_no}")
+            updates = updates.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_updates"),
+                *[
+                    F.sum((F.col("finish") == code).cast("long")).alias(f"finish_{code}")
+                    for code in (0, 1, 2, 3, 4, 5, 6, 7, 8, 255)
+                ],
+            )
             untouched = self.frontier.join(
                 wave.select("urlhash"), "urlhash", "left_anti"
             )
@@ -692,11 +723,7 @@ class CrawlEngine:
                 .localCheckpoint(eager=True)
             )
             counters["n_wave"] = n
-            fin_counts = {
-                f"finish_{r['finish']}": r["count"]
-                for r in updates.groupBy("finish").count().collect()
-            }
-            counters.update(fin_counts)
+            counters.update({k: v for k, v in obs.get.items() if v})
             self.metrics.append(counters)
             # the state tables checkpoint lazily and may first materialize
             # early next wave, so this wave's caches are released one wave

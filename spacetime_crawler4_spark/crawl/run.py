@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--max-waves", type=int, default=64)
     ap.add_argument("--whitelist", default=".example-a.test,.example-b.test")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument(
+        "--dump",
+        default=None,
+        metavar="N",
+        type=int,
+        help="print the first N frontier rows (reference print_nap.py analogue)",
+    )
     args = ap.parse_args(argv)
 
     seeds_tbl = pq.read_table(args.seeds).to_pylist()
@@ -66,6 +73,8 @@ def main(argv: list[str] | None = None) -> dict:
         out["top_words"] = [
             (r["word"], r["total"]) for r in R.top_words(frontier, 10).collect()
         ]
+    if args.dump:
+        frontier.orderBy("gen", "seq").drop("words").show(args.dump, truncate=60)
     print(json.dumps(out))
     return out
 

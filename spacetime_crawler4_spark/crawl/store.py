@@ -56,6 +56,23 @@ class SnapshotStore:
             tables[name].write.mode("overwrite").parquet(os.path.join(tmp, name))
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump(metrics, f)
+        # per-partition lineage from the parquet footers (no Spark job):
+        # which files exist, how many rows each contributed at this commit
+        import glob
+
+        import pyarrow.parquet as papq
+
+        lineage: dict[str, list[dict]] = {}
+        for name in TABLES:
+            lineage[name] = [
+                {
+                    "file": os.path.basename(p),
+                    "rows": papq.read_metadata(p).num_rows,
+                }
+                for p in sorted(glob.glob(os.path.join(tmp, name, "*.parquet")))
+            ]
+        with open(os.path.join(tmp, "lineage.json"), "w") as f:
+            json.dump({"wave": wave, "tables": lineage}, f)
         if os.path.exists(snap):
             shutil.rmtree(snap)
         os.replace(tmp, snap)

@@ -149,3 +149,13 @@ def test_resume_from_snapshot(spark, corpus_dir, tmp_path, engine_run):
     resumed = CrawlEngine(spark, *args, CrawlConfig(**CFG), state_dir=state_dir)
     resumed_state = _engine_state(resumed.run(resume=True))
     _compare_states(resumed_state, full_state, ignore=())
+
+    # lineage records per-partition file row counts at every commit
+    import glob
+    import json
+
+    lineage_files = sorted(glob.glob(f"{state_dir}/snap-*/lineage.json"))
+    assert lineage_files
+    with open(lineage_files[-1]) as f:
+        lin = json.load(f)
+    assert sum(e["rows"] for e in lin["tables"]["frontier"]) == len(resumed_state)
