@@ -139,6 +139,7 @@ class CrawlEngine:
                 self.exact_buckets = tables["exact_buckets"]
                 self.sim_index = tables["sim_index"]
                 self.metrics = metrics
+                self._frontier_rows = self.frontier.count()
                 return
         rows = []
         for i, url in enumerate(self.seeds):
@@ -164,6 +165,7 @@ class CrawlEngine:
                 }
             )
         self.frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        self._frontier_rows = len(rows)
         self.domains = spark.createDataFrame([], DOMAINS_SCHEMA)
         self.exact_buckets = spark.createDataFrame([], "exhash string, master string")
         self.sim_index = spark.createDataFrame(
@@ -578,15 +580,46 @@ class CrawlEngine:
             .select("urlhash", "r.*")
             .select(*_FCOLS)
         )
-        inserts = first_seen.join(
-            self.frontier.select("urlhash"), "urlhash", "left_anti"
-        )
+        inserts = self._seen_anti_join(first_seen)
 
         updates = updated[0]
         for u in updated[1:]:
             updates = updates.unionByName(u)
         counters = {"wave": self.wave_no}
         return updates, inserts, counters
+
+    # ------------------------------------------------ seen-set anti-join
+    def _seen_anti_join(self, candidates: DataFrame) -> DataFrame:
+        """J1: candidates not yet in the frontier.
+
+        With ``seen_bloom_fpp`` set, a broadcast bloom over the frontier's
+        64-bit URL keys (built distributed, JVM tree-aggregated; probed in
+        a vectorized Arrow UDF — functions/bloom.py) splits candidates
+        into definitely-new (skip the join entirely; blooms have no false
+        negatives) and maybe-seen (exact anti-join kills false positives).
+        Identical output to the plain anti-join by construction.
+        """
+        seen = self.frontier.select("urlhash")
+        if self.cfg.seen_bloom_fpp is None:
+            return candidates.join(seen, "urlhash", "left_anti")
+        from spacetime_crawler4_spark.functions.bloom import (
+            build_bloom,
+            might_contain_udf,
+            url_key64,
+        )
+
+        blob = build_bloom(
+            self.frontier.select(url_key64(F.col("url")).alias("k")),
+            "k",
+            expected=max(self._frontier_rows, 1024),
+            fpp=self.cfg.seen_bloom_fpp,
+        )
+        probe = might_contain_udf(blob)(url_key64(F.col("url")))
+        keyed = candidates.withColumn("_maybe_seen", probe).cache()
+        self._wave_caches.append(keyed)
+        definitely_new = keyed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        maybe = keyed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        return definitely_new.unionByName(maybe.join(seen, "urlhash", "left_anti"))
 
     # ------------------------------------------------- simhash wave stage
     def _simhash_stage(self, good: DataFrame) -> DataFrame:
@@ -711,6 +744,8 @@ class CrawlEngine:
                     for code in (0, 1, 2, 3, 4, 5, 6, 7, 8, 255)
                 ],
             )
+            obs_ins = Observation(f"inserts-{self.wave_no}")
+            inserts = inserts.observe(obs_ins, F.count(F.lit(1)).alias("n_inserts"))
             untouched = self.frontier.join(
                 wave.select("urlhash"), "urlhash", "left_anti"
             )
@@ -724,6 +759,8 @@ class CrawlEngine:
             )
             counters["n_wave"] = n
             counters.update({k: v for k, v in obs.get.items() if v})
+            counters["n_inserts"] = obs_ins.get["n_inserts"]
+            self._frontier_rows += counters["n_inserts"]
             self.metrics.append(counters)
             # the state tables checkpoint lazily and may first materialize
             # early next wave, so this wave's caches are released one wave

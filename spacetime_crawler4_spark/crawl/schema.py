@@ -143,6 +143,11 @@ class CrawlConfig:
     max_retries: int = MAX_RETRIES
     max_waves: int = 64
     checkpoint_every: int = 1  # snapshot commit cadence (waves)
+    # broadcast-bloom prefilter for the URL-seen anti-join (SURVEY §2.3
+    # J1 / north rule): rebuilt per wave from the frontier, keyed on
+    # xxhash64(canonical url). None disables (exact anti-join only —
+    # results are identical either way; the bloom only prunes probe rows).
+    seen_bloom_fpp: float | None = None
 
     def domain_budget(self, crawl_delay: float | None) -> int | None:
         if self.wave_seconds is None:

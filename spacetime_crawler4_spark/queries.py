@@ -617,15 +617,17 @@ GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey ASC LIMIT 10
 
 
 def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
+    """Exercised through the spark.sql surface (temp view + SQL text) —
+    same Catalyst plan as the DataFrame form."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
     )
 
 
@@ -664,6 +666,59 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping: revenue by (priority, status) with subtotals and a
+    grand total — grouping-set aggregation shape."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+SQL_TPCH_ROLLUP = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events props column: distribution of the
+    embedded "k" field per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, count(*) AS n_events,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -764,6 +819,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "tpch_top_customers": (q_tpch_top_customers, SQL_TPCH_TOP_CUSTOMERS),
         "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
         "tpch_region_revenue": (q_tpch_region_revenue, SQL_TPCH_REGION_REVENUE),
+        "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
+        "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     }
