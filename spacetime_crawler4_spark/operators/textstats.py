@@ -103,6 +103,50 @@ def langid_heuristic(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every char
+    k-gram, then keep the minimum hash of each sliding window of w
+    positions; the distinct kept hashes are the document's fingerprint set.
+
+    Formulated relationally: posexplode the k-grams, then a frame-spec
+    window (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING) computes each
+    window minimum — per-doc partitions, no UDF. Guarantees: any shared
+    substring of length >= k + w - 1 yields at least one shared
+    fingerprint. Returns (doc_id, n_fps, fp_min, fp_max) per doc."""
+    from pyspark.sql.window import Window
+
+    txt = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - (k - 1), F.lit(1))),
+        lambda i: txt.substr(i, F.lit(k)),
+    )
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("h"))
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    n_pos = Window.partitionBy("doc_id")
+    winnowed = (
+        rows.withColumn("wmin", F.min("h").over(win))
+        .withColumn("npos", F.count("*").over(n_pos))
+        .filter(F.col("pos") <= F.col("npos") - w)  # only full windows
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return winnowed.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("wmin").alias("fp_min"),
+        F.max("wmin").alias("fp_max"),
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 5
 ) -> DataFrame:

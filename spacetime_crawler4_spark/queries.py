@@ -482,6 +482,70 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b
 """
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: char-8-gram hashes, min of each
+    4-wide sliding window — frame-spec window functions, no UDF."""
+    from spacetime_crawler4_spark.operators.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, w=4).orderBy("doc_id")
+
+
+SQL_TEXT_WINNOW = """
+WITH g AS (
+  SELECT doc_id,
+         unnest([substr(lower(text), i, 8)
+                 for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS gram,
+         generate_subscripts([substr(lower(text), i, 8)
+                 for i in range(1, greatest(length(text) - 7, 1) + 1)], 1) - 1 AS pos
+  FROM documents),
+wm AS (SELECT doc_id, pos,
+              min(md5(gram)) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+              count(*) OVER (PARTITION BY doc_id) AS npos
+       FROM g),
+fp AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= npos - 4)
+SELECT doc_id, count(*) AS n_fps, min(wmin) AS fp_min, max(wmin) AS fp_max
+FROM fp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF cell probe against the exact brute force —
+    the measured accuracy/cost trade-off of the ANN scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = brute_force_topk(emb, _queries_df(emb), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    assigned = ivf_assign(emb, _centroids_df(spark, emb))
+    approx = ivf_topk(assigned, _queries_df(emb).select("vec_id"), k=5).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    hit = brute.join(
+        approx,
+        (brute.query_id == approx.query_id)
+        & (brute.neighbor_id == approx.a_neighbor),
+        "left",
+    ).groupBy(brute.query_id).agg(
+        F.count(approx.a_neighbor).alias("n_overlap")
+    )
+    return hit.select(
+        "query_id", "n_overlap", F.round(F.col("n_overlap") / 5.0, 4).alias("recall")
+    ).orderBy("query_id")
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({SQL_ANN_BRUTE}) b),
+ivf AS (SELECT query_id, neighbor_id FROM ({SQL_ANN_IVF}) v)
+SELECT b.query_id, count(i.neighbor_id) AS n_overlap,
+       round(count(i.neighbor_id) / 5.0, 4) AS recall
+FROM brute b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # events plane (windows / event-time)
 # --------------------------------------------------------------------------
@@ -812,6 +876,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
         "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTE),
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+        "ann_ivf_recall": (q_ann_ivf_recall, _sql_ann_recall()),
+        "text_winnow": (q_text_winnow, SQL_TEXT_WINNOW),
         "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
         "events_top_users": (q_events_top_users, SQL_EVENTS_TOP_USERS),
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
