@@ -51,7 +51,10 @@ from spacetime_crawler4_spark.crawl.udfs import (
 )
 from spacetime_crawler4_spark.functions.exhash import exhash_col
 from spacetime_crawler4_spark.functions.simhash import SIMHASH_BITS, SIMHASH_THRESHOLD
-from spacetime_crawler4_spark.operators.textplane import crawl_features_udf
+from spacetime_crawler4_spark.operators.textplane import (
+    crawl_features_udf,
+    crawl_words_col,
+)
 
 _EMPTY_WORDS = "cast(map() as map<string,int>)"
 _EMPTY_LINKS = "cast(array() as array<string>)"
@@ -474,7 +477,7 @@ class CrawlEngine:
                 non_sm.filter(lowpost_cond),
                 finish=F.lit(FINISH.LOWINFO_POST),
                 status=F.lit(STATUS.IS_DOWN),
-                words=F.col("feat.words"),
+                words=crawl_words_col(F.col("feat")),
             )
         )
         good = non_sm.filter(~lowpost_cond).withColumn("smhash", F.col("feat.smhash"))
@@ -488,7 +491,7 @@ class CrawlEngine:
                 sim_dups,
                 finish=F.lit(FINISH.TOO_SIMILAR),
                 status=F.lit(STATUS.IS_DOWN),
-                words=F.col("feat.words"),
+                words=crawl_words_col(F.col("feat")),
             )
         )
         ok_rows = good.join(sim_dup_hashes, "urlhash", "left_anti")
@@ -564,7 +567,7 @@ class CrawlEngine:
                 over["words"] = extra_words
             return self._finalize(j, **over)
 
-        updated.append(_with_links(ok_rows, extra_words=F.col("feat.words")))
+        updated.append(_with_links(ok_rows, extra_words=crawl_words_col(F.col("feat"))))
         updated.append(_with_links(sm_rows))
 
         # ---- J1 candidate dedup + seen-set anti-join

@@ -53,15 +53,21 @@ def _prime_cache(words: list[str]) -> None:
 
 
 def simhash32(word_counts: dict[str, int]) -> int:
-    """Packed 32-bit simhash of a word-frequency map (0 for empty map)."""
+    """Packed 32-bit simhash of a word-frequency map (0 for empty map).
+
+    Fully vectorized per document: one (n_words × 32) bit-unpack and one
+    weighted column sum — numerically identical to the reference's
+    per-word accumulation loop (the vote sum is order-free)."""
     if not word_counts:
         return 0
-    _prime_cache(list(word_counts.keys()))
-    v = np.zeros(SIMHASH_BITS, dtype=np.int64)
-    for w, c in word_counts.items():
-        h = np.uint64(_word_hash32(w))
-        bits = ((h >> _BIT_POS) & np.uint64(1)).astype(np.int64)
-        v += np.where(bits == 1, c, -c)
+    words = list(word_counts.keys())
+    _prime_cache(words)
+    h = np.fromiter(
+        (_word_hash32(w) for w in words), dtype=np.uint64, count=len(words)
+    )
+    c = np.fromiter(word_counts.values(), dtype=np.int64, count=len(words))
+    bits = ((h[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int64)
+    v = ((2 * bits - 1) * c[:, None]).sum(axis=0)
     return int(((v > 0).astype(np.int64) * _POW2).sum())
 
 

@@ -72,8 +72,9 @@ def tokenize(text: str) -> list[str]:
 
 
 def word_count(tokens: list[str]) -> dict[str, int]:
-    """Token frequency map (reference helpers/word_count.py:23-35)."""
-    d: dict[str, int] = {}
-    for t in tokens:
-        d[t] = d.get(t, 0) + 1
-    return d
+    """Token frequency map (reference helpers/word_count.py:23-35).
+    collections.Counter is the C-optimized equivalent of the reference's
+    dict loop (same keys, same counts, same first-encounter key order)."""
+    from collections import Counter
+
+    return dict(Counter(tokens))

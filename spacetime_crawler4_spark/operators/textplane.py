@@ -117,7 +117,8 @@ CRAWL_FEATURES_SCHEMA = StructType(
         StructField("links", ArrayType(StringType())),
         StructField("text", StringType()),
         StructField("sitemap", BooleanType()),
-        StructField("words", MapType(StringType(), IntegerType())),
+        StructField("word_keys", ArrayType(StringType())),
+        StructField("word_cnts", ArrayType(IntegerType())),
         StructField("n_unique", IntegerType()),
         StructField("n_total", LongType()),
         StructField("max_count", IntegerType()),
@@ -131,17 +132,26 @@ def crawl_features_udf(url: pd.Series, html: pd.Series, content_type: pd.Series)
     """Fused crawl-path UDF: parse + tokenize + word-count + simhash in ONE
     Arrow round trip (the split UDFs would ship the words map
     JVM→Python→JVM again just to hash it). Sitemap rows skip tokenization
-    entirely (reference worker.py:95: sitemaps bypass process_text)."""
+    entirely (reference worker.py:95: sitemaps bypass process_text).
+
+    The word map leaves Python as two parallel arrays (keys, counts) —
+    Arrow list columns convert far cheaper than map columns — and is
+    reassembled JVM-side with ``map_from_arrays`` (see words_col)."""
     from spacetime_crawler4_spark.functions.simhash import simhash32
 
-    out = {k: [] for k in ("links", "text", "sitemap", "words", "n_unique", "n_total", "max_count", "smhash")}
+    cols = (
+        "links", "text", "sitemap", "word_keys", "word_cnts",
+        "n_unique", "n_total", "max_count", "smhash",
+    )
+    out = {k: [] for k in cols}
     for u, h, ct in zip(url, html, content_type):
         ex = extract_page(u, h or b"", ct or "text/html")
         out["links"].append(ex.links)
         out["text"].append(ex.text)
         out["sitemap"].append(ex.sitemap)
         if ex.sitemap:
-            out["words"].append({})
+            out["word_keys"].append([])
+            out["word_cnts"].append([])
             out["n_unique"].append(0)
             out["n_total"].append(0)
             out["max_count"].append(0)
@@ -149,12 +159,19 @@ def crawl_features_udf(url: pd.Series, html: pd.Series, content_type: pd.Series)
         else:
             toks = tokenize(ex.text)
             words = word_count(toks)
-            out["words"].append(words)
+            out["word_keys"].append(list(words.keys()))
+            out["word_cnts"].append(list(words.values()))
             out["n_unique"].append(len(words))
             out["n_total"].append(len(toks))
             out["max_count"].append(max(words.values()) if words else 0)
             out["smhash"].append(simhash32(words))
     return pd.DataFrame(out)
+
+
+def crawl_words_col(feat: Column) -> Column:
+    """Reassemble the word-count map JVM-side from the fused UDF's parallel
+    key/count arrays."""
+    return F.map_from_arrays(feat["word_keys"], feat["word_cnts"])
 
 
 def simhash_str_col(smhash: Column) -> Column:

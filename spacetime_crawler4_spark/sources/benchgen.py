@@ -85,7 +85,9 @@ def write_bench_corpus(
             "retry_after": pa.array([0] * n, pa.int32()),
         }
     )
-    pq.write_table(tbl, f"{out_dir}/pages.parquet")
+    # small row groups keep the file scan-splittable (a single row group
+    # would force the whole corpus through one task)
+    pq.write_table(tbl, f"{out_dir}/pages.parquet", row_group_size=2048)
     pq.write_table(
         pa.table(
             {
