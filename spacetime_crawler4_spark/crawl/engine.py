@@ -145,10 +145,18 @@ class CrawlEngine:
                 self._frontier_rows = self.frontier.count()
                 return
         rows = []
+        seen_hashes: set[str] = set()
         for i, url in enumerate(self.seeds):
+            # dedup seeds by urlhash, first wins (the reference nap dedups
+            # on urlhash at add time, so trailing-slash / http-https twin
+            # seeds collapse to one frontier row)
+            h = S.urlhash(url)
+            if h in seen_hashes:
+                continue
+            seen_hashes.add(h)
             rows.append(
                 {
-                    "urlhash": S.urlhash(url),
+                    "urlhash": h,
                     "url": url,
                     "parent": None,
                     "status": STATUS.NO_DOWN,
@@ -601,6 +609,14 @@ class CrawlEngine:
         into definitely-new (skip the join entirely; blooms have no false
         negatives) and maybe-seen (exact anti-join kills false positives).
         Identical output to the plain anti-join by construction.
+
+        The bloom MUST be keyed on the exact-join key itself —
+        ``xxhash64(urlhash)``, the scheme-less canonical identity — not on
+        a hash of the raw url: an http/https twin of a seen page hashes to
+        a different url but the SAME urlhash, and keying the bloom on the
+        url would classify it 'definitely new' and duplicate the frontier
+        row (the urlhash is the "canonicalized + 64-bit-hashed URL" of the
+        north rule).
         """
         seen = self.frontier.select("urlhash")
         if self.cfg.seen_bloom_fpp is None:
@@ -608,16 +624,15 @@ class CrawlEngine:
         from spacetime_crawler4_spark.functions.bloom import (
             build_bloom,
             might_contain_udf,
-            url_key64,
         )
 
         blob = build_bloom(
-            self.frontier.select(url_key64(F.col("url")).alias("k")),
+            self.frontier.select(F.xxhash64(F.col("urlhash")).alias("k")),
             "k",
             expected=max(self._frontier_rows, 1024),
             fpp=self.cfg.seen_bloom_fpp,
         )
-        probe = might_contain_udf(blob)(url_key64(F.col("url")))
+        probe = might_contain_udf(blob)(F.xxhash64(F.col("urlhash")))
         keyed = candidates.withColumn("_maybe_seen", probe).cache()
         self._wave_caches.append(keyed)
         definitely_new = keyed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")

@@ -18,14 +18,21 @@ from spacetime_crawler4_spark.crawl.schema import FINISH, STATUS
 DEFAULT_MANUAL_FILTER: tuple[str, ...] = ()
 
 
-def top_words(frontier: DataFrame, k: int = 50, manual_filter=DEFAULT_MANUAL_FILTER) -> DataFrame:
-    """A2+W1 (report.py:56-59,76-78; helpers/common_words.py:4-29)."""
-    words = frontier.select(F.explode("words").alias("word", "cnt"))
+def _valid_word(manual_filter=DEFAULT_MANUAL_FILTER):
+    """report.py:18-19 ``is_valid_word``: len>=3, has a letter, not in the
+    manual noise list — shared by top_words AND longest_page (the reference
+    applies it in both aggregates, report.py:50,57)."""
     cond = (F.length("word") >= 3) & F.col("word").rlike(r"\p{L}")
     if manual_filter:
         cond = cond & ~F.col("word").isin(*manual_filter)
+    return cond
+
+
+def top_words(frontier: DataFrame, k: int = 50, manual_filter=DEFAULT_MANUAL_FILTER) -> DataFrame:
+    """A2+W1 (report.py:56-59,76-78; helpers/common_words.py:4-29)."""
+    words = frontier.select(F.explode("words").alias("word", "cnt"))
     return (
-        words.filter(cond)
+        words.filter(_valid_word(manual_filter))
         .groupBy("word")
         .agg(F.sum("cnt").alias("total"))
         .orderBy(F.desc("total"), F.asc("word"))
@@ -33,15 +40,24 @@ def top_words(frontier: DataFrame, k: int = 50, manual_filter=DEFAULT_MANUAL_FIL
     )
 
 
-def longest_page(frontier: DataFrame) -> DataFrame:
-    """A3 (report.py:48-54): argmax page by valid-word total."""
-    totals = (
-        frontier.select(
-            "url",
-            F.aggregate(
-                F.map_values("words"), F.lit(0).cast("long"), lambda a, x: a + x
-            ).alias("total_words"),
-        )
+def longest_page(frontier: DataFrame, manual_filter=DEFAULT_MANUAL_FILTER) -> DataFrame:
+    """A3 (report.py:48-54): argmax page by VALID-word total — the reference
+    sums only words passing ``is_valid_word`` (report.py:50), so pages heavy
+    in short/numeric tokens must not win here."""
+    def _valid(word):
+        cond = (F.length(word) >= 3) & word.rlike(r"\p{L}")
+        if manual_filter:
+            cond = cond & ~word.isin(*manual_filter)
+        return cond
+
+    # row-local (no shuffle): filter the map entries, then fold the counts
+    totals = frontier.select(
+        "url",
+        F.aggregate(
+            F.filter(F.map_entries("words"), lambda e: _valid(e["key"])),
+            F.lit(0).cast("long"),
+            lambda a, e: a + e["value"],
+        ).alias("total_words"),
     )
     return totals.orderBy(F.desc("total_words"), F.asc("url")).limit(1)
 

@@ -171,7 +171,13 @@ def might_contain_udf(blob: BloomBlob):
 
 
 def url_key64(url_col: Column) -> Column:
-    """The bloom key: xxhash64 of the canonicalized URL (JVM built-in)."""
+    """xxhash64 of the canonicalized URL (JVM built-in).
+
+    NOTE: the crawl engine's seen-set bloom does NOT use this — its exact
+    anti-join key is the scheme-less ``urlhash``, so the bloom is keyed on
+    ``xxhash64(urlhash)`` directly (engine._seen_anti_join); keying on the
+    url would miss http/https twins of seen pages. This helper remains for
+    URL-keyed sketches where the url itself IS the identity."""
     from spacetime_crawler4_spark.functions.urls import normalize_url_col
 
     return F.xxhash64(normalize_url_col(url_col))

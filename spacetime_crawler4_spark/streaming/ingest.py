@@ -124,6 +124,17 @@ def incremental_crawl_query(
         )
         eng.init_state(resume=True)
         if eng.store.latest_wave() is not None:
+            # dedup within the batch by urlhash (first in sorted order wins)
+            # before the frontier anti-join — two seed spellings that
+            # collapse to one urlhash must yield one frontier row, matching
+            # the reference nap's add-time dedup
+            batch_seen: set[str] = set()
+            uniq: list[str] = []
+            for u in sorted(urls):
+                h = S.urlhash(u)
+                if h not in batch_seen:
+                    batch_seen.add(h)
+                    uniq.append(u)
             rows = [
                 {
                     "urlhash": S.urlhash(u),
@@ -144,7 +155,7 @@ def incremental_crawl_query(
                     "domain": S.domain_of(u),
                     "retries": 0,
                 }
-                for i, u in enumerate(sorted(urls))
+                for i, u in enumerate(uniq)
             ]
             new_seeds = spark.createDataFrame(rows, FRONTIER_SCHEMA).join(
                 eng.frontier.select("urlhash"), "urlhash", "left_anti"

@@ -41,10 +41,20 @@ def test_top_words_parity(crawled):
 
 
 def test_longest_page_parity(crawled):
+    # reference report.py:48-54 counts only is_valid_word words (len>=3,
+    # has a letter, not manually filtered) when electing the longest page
     frontier, ostate = crawled
+
+    def _valid_total(words):
+        return sum(
+            c
+            for w, c in words.items()
+            if len(w) >= 3 and any(ch.isalpha() for ch in w)
+        )
+
     row = R.longest_page(frontier).collect()[0]
     exp_url, exp_total = min(
-        ((n["url"], sum(n["words"].values())) for n in ostate.values()),
+        ((n["url"], _valid_total(n["words"])) for n in ostate.values()),
         key=lambda t: (-t[1], t[0]),
     )
     assert (row["url"], row["total_words"]) == (exp_url, exp_total)
