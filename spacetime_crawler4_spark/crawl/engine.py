@@ -649,9 +649,17 @@ class CrawlEngine:
         (earliest-created matching bucket wins; dups never create buckets).
         LSH banding is exact by pigeonhole (6 bands for <=5 differing bits),
         so no candidate pair is missed. Within-wave chaining (who became a
-        master moments earlier) is resolved greedily in (gen, seq) order on
-        the collected candidate-pair graph — O(wave near-dup density) driver
-        work, the only driver-side state in the engine.
+        master moments earlier) is resolved greedily in (gen, seq) order
+        over the candidate-pair graph. Two equivalent evaluation paths:
+
+        - pair count <= cfg.simhash_driver_cap: collect the (small) graph
+          and resolve on the driver in one pass.
+        - above the cap (dense waves — the 32-bit fingerprint saturates on
+          big corpora, BASELINE.md): a DISTRIBUTED round-based fixpoint
+          (_distributed_election) — the greedy outcome of a node depends
+          only on the outcomes of its earlier neighbors, so evaluating in
+          topological rounds of joins yields the identical labeling with
+          O(1) driver state. A dense wave can no longer OOM the driver.
         """
         spark = self.spark
         cand = good.select("urlhash", "gen", "seq", "smhash")
@@ -702,26 +710,31 @@ class CrawlEngine:
                 F.col("x.seq").alias("sx"),
             )
             .distinct()
-            .collect()
+            .cache()
         )
-        # greedy master election in FIFO order over the (small) chain graph
-        nodes: dict[str, tuple] = {}
-        edges: dict[str, list[str]] = {}
-        for r in pairs:
-            nodes[r["ha"]] = (r["ga"], r["sa"])
-            nodes[r["hx"]] = (r["gx"], r["sx"])
-            edges.setdefault(r["hx"], []).append(r["ha"])
-        dups: set[str] = set()
-        masters_set: set[str] = set()
-        for h in sorted(nodes, key=lambda k: nodes[k]):
-            if any(e in masters_set for e in edges.get(h, [])):
-                dups.add(h)
-            else:
-                masters_set.add(h)
-        dup_df = spark.createDataFrame(
-            [(h,) for h in sorted(dups)], "urlhash string"
-        )
-        within_dups = dup_df
+        self._wave_caches.append(pairs)
+        n_pairs = pairs.count()
+        if n_pairs <= self.cfg.simhash_driver_cap:
+            # sparse wave: one-pass greedy on the collected chain graph
+            collected = pairs.collect()
+            nodes: dict[str, tuple] = {}
+            edges: dict[str, list[str]] = {}
+            for r in collected:
+                nodes[r["ha"]] = (r["ga"], r["sa"])
+                nodes[r["hx"]] = (r["gx"], r["sx"])
+                edges.setdefault(r["hx"], []).append(r["ha"])
+            dups: set[str] = set()
+            masters_set: set[str] = set()
+            for h in sorted(nodes, key=lambda k: nodes[k]):
+                if any(e in masters_set for e in edges.get(h, [])):
+                    dups.add(h)
+                else:
+                    masters_set.add(h)
+            within_dups = spark.createDataFrame(
+                [(h,) for h in sorted(dups)], "urlhash string"
+            )
+        else:
+            within_dups = self._distributed_election(pairs)
         new_masters = fresh.join(within_dups, "urlhash", "left_anti")
         self.sim_index = self.sim_index.unionByName(
             new_masters.select(
@@ -732,6 +745,67 @@ class CrawlEngine:
             )
         ).coalesce(self._nparts).localCheckpoint(eager=False)
         return vs_masters.unionByName(within_dups)
+
+    # ------------------------------------------- distributed dup election
+    def _distributed_election(self, pairs: DataFrame) -> DataFrame:
+        """Greedy FIFO master election over the within-wave near-dup pair
+        graph, evaluated distributed — no driver-side materialization.
+
+        Semantics (identical to the sequential greedy): processing nodes in
+        (gen, seq) order, a node is a DUP iff some earlier neighbor is a
+        master, else it becomes a master. The greedy label of a node
+        depends only on its earlier neighbors' labels, so a round-based
+        fixpoint over joins computes the same unique labeling:
+
+        - a node with an earlier UNDECIDED neighbor waits;
+        - a node with an earlier MASTER neighbor is a dup (masters never
+          change label, so this is final regardless of waiting neighbors);
+        - otherwise every earlier neighbor is a dup (or none) -> master.
+
+        Each round decides at least the minimum undecided node, and dense
+        clusters collapse in ~2 rounds (the cluster minimum becomes master,
+        all its neighbors become dups, survivors re-evaluate). Driver state
+        per round: two counts. Returns a one-column (urlhash) DF of dups.
+        """
+        edges = pairs.select(
+            F.col("ha").alias("src"), F.col("hx").alias("dst")
+        ).localCheckpoint(eager=True)
+        und = (
+            pairs.select(F.col("ha").alias("urlhash"))
+            .unionByName(pairs.select(F.col("hx").alias("urlhash")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        masters = self.spark.createDataFrame([], "urlhash string")
+        dups = self.spark.createDataFrame([], "urlhash string")
+        n_und = und.count()
+        while n_und > 0:
+            # in-edges whose source is still undecided block the target
+            blocked_dst = (
+                edges.join(und, edges.src == und.urlhash, "left_semi")
+                .select(F.col("dst").alias("urlhash"))
+                .distinct()
+            )
+            # an earlier master neighbor decides the target as dup (final)
+            dup_dst = (
+                edges.join(masters, edges.src == masters.urlhash, "left_semi")
+                .select(F.col("dst").alias("urlhash"))
+                .distinct()
+                .join(und, "urlhash", "left_semi")
+            )
+            new_masters = und.join(blocked_dst, "urlhash", "left_anti").join(
+                dup_dst, "urlhash", "left_anti"
+            )
+            masters = masters.unionByName(new_masters).localCheckpoint(eager=True)
+            dups = dups.unionByName(dup_dst).localCheckpoint(eager=True)
+            und = (
+                und.join(masters, "urlhash", "left_anti")
+                .join(dups, "urlhash", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            prev, n_und = n_und, und.count()
+            assert n_und < prev, "simhash election made no progress"
+        return dups
 
     # ----------------------------------------------------------- the loop
     def run(self, resume: bool = False) -> DataFrame:

@@ -148,6 +148,11 @@ class CrawlConfig:
     # xxhash64(canonical url). None disables (exact anti-join only —
     # results are identical either way; the bloom only prunes probe rows).
     seen_bloom_fpp: float | None = None
+    # within-wave simhash master election: pair graphs at or below this
+    # size are resolved in one driver pass; larger (dense) graphs use the
+    # distributed round-based election (engine._distributed_election), so
+    # a saturated wave can never OOM the driver. 0 forces distributed.
+    simhash_driver_cap: int = 20_000
 
     def domain_budget(self, crawl_delay: float | None) -> int | None:
         if self.wave_seconds is None:
