@@ -4,9 +4,10 @@ entry()      — flagship query (reference-parity tokenizer top-50) at sf0.001
 queries()    — every implemented operator from SURVEY.md §2 + the
                training-data suite (dedup / similarity / text-stats /
                multimodal), each as (spark, sf_dir) -> DataFrame
-oracle_sql() — semantically-identical DuckDB SQL per query (omitted only
-               for the non-SQL-expressible crc64-simhash pair, which the
-               driver records as rows-only)
+oracle_sql() — semantically-identical DuckDB SQL for EVERY query (the
+               crc64-simhash plane is SQL-checked too: the word-hash
+               dictionary is inlined as a VALUES table and the bit-vote
+               sum re-run in SQL — queries._sql_simhash_fp)
 
 Implementations live in spacetime_crawler4_spark.queries (operators in
 spacetime_crawler4_spark.operators.*); this module is just the wiring.

@@ -76,5 +76,36 @@ def simhash32_str(word_counts: dict[str, int]) -> str:
     return format(simhash32(word_counts), f"0{SIMHASH_BITS}b")
 
 
+# ---------------------------------------------------------------- 64-bit
+# The parity plane keeps the reference's 32-bit fingerprint, which
+# SATURATES: with hamming<=5 on 32 bits, random-corpus collisions make
+# ~everything pair up beyond ~10^5 docs (BASELINE.md scale notes). The
+# production dedup plane uses the FULL crc64 (same hash family, same vote
+# rule, 64 lanes) so banding keeps candidate volume linear at corpus scale.
+
+_BIT_POS64 = np.arange(63, -1, -1, dtype=np.uint64)  # MSB first
+_POW2_64 = np.uint64(1) << _BIT_POS64
+
+
+def simhash64(word_counts: dict[str, int]) -> int:
+    """Packed 64-bit simhash (full crc64 per word, MSB-first bit votes),
+    returned as a SIGNED 64-bit int for Spark LongType (two's complement).
+    Empty map -> 0. Same accumulation rule as simhash32 — order-free."""
+    if not word_counts:
+        return 0
+    words = list(word_counts.keys())
+    h = crc64_batch([w.encode("utf-8") for w in words])
+    c = np.fromiter(word_counts.values(), dtype=np.int64, count=len(words))
+    bits = ((h[:, None] >> _BIT_POS64[None, :]) & np.uint64(1)).astype(np.int64)
+    v = ((2 * bits - 1) * c[:, None]).sum(axis=0)
+    packed = int(((v > 0).astype(np.uint64) * _POW2_64).sum())
+    return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+
+def simhash64_str(word_counts: dict[str, int]) -> str:
+    """64-char '0'/'1' display form, MSB first."""
+    return format(simhash64(word_counts) & 0xFFFFFFFFFFFFFFFF, "064b")
+
+
 def hamming32(h1: int, h2: int) -> int:
     return bin((h1 ^ h2) & 0xFFFFFFFF).count("1")

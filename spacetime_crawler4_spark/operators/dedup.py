@@ -194,23 +194,35 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, smhash, smhash_str): reference-parity 32-bit simhash per doc.
+def simhash_docs(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, smhash, smhash_str): simhash per doc over the reference
+    tokenizer + crc64 hash family (helpers/simhash.py:5-28,
+    helpers/tokenize.py:35-137).
 
-    Uses the crawl engine's tokenizer + crc64 simhash UDFs (reference
-    helpers/simhash.py:5-28, helpers/tokenize.py:35-137) — not expressible
-    in ANSI SQL, so the driver records a rows-only check for this one.
-    """
+    bits=32 is the reference-parity fingerprint; bits=64 is the production
+    plane (full crc64 lanes — same vote rule) whose pair density stays
+    sane at corpus scale. The DuckDB oracle reproduces both by joining
+    tokens against the crc64 word-hash dictionary and re-running the
+    bit-vote sum in SQL (queries.py)."""
     from spacetime_crawler4_spark.operators.textplane import (
-        simhash_str_col,
+        simhash64_udf,
         simhash_udf,
         token_features_udf,
     )
 
+    if bits == 32:
+        udf, width = simhash_udf, 32
+    elif bits == 64:
+        udf, width = simhash64_udf, 64
+    else:
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
     out = df.select(
         F.col(id_col).alias("id"), token_features_udf(F.col(text_col)).alias("tok")
-    ).select("id", simhash_udf(F.col("tok.words")).alias("smhash"))
-    return out.withColumn("smhash_str", simhash_str_col(F.col("smhash")))
+    ).select("id", udf(F.col("tok.words")).alias("smhash"))
+    # display form: unsigned binary, MSB first, fixed width (F.bin renders
+    # the two's-complement 64-bit pattern, so negative 64-bit packs render
+    # as their full unsigned bit string)
+    return out.withColumn("smhash_str", F.lpad(F.bin(F.col("smhash")), width, "0"))
 
 
 def simhash_near_pairs(sim: DataFrame, threshold: int = 5, bits: int = 32) -> DataFrame:

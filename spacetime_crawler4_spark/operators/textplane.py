@@ -112,6 +112,18 @@ def simhash_udf(words: pd.Series) -> pd.Series:
     return pd.Series([simhash32(dict(w) if w is not None else {}) for w in words], dtype="int64")
 
 
+@pandas_udf(LongType())
+def simhash64_udf(words: pd.Series) -> pd.Series:
+    """word map -> packed 64-bit simhash (full crc64 lanes) — the
+    production near-dup plane; the 32-bit parity fingerprint saturates on
+    large corpora (functions/simhash.py, BASELINE.md scale notes)."""
+    from spacetime_crawler4_spark.functions.simhash import simhash64
+
+    return pd.Series(
+        [simhash64(dict(w) if w is not None else {}) for w in words], dtype="int64"
+    )
+
+
 CRAWL_FEATURES_SCHEMA = StructType(
     [
         StructField("links", ArrayType(StringType())),

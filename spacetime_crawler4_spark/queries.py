@@ -263,17 +263,171 @@ ORDER BY id_a, id_b
 
 
 def q_dedup_simhash_refparity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-parity 32-bit simhash per document (crc64 family — not
-    SQL-expressible; driver records rows-only)."""
+    """Reference-parity 32-bit simhash per document (crc64 hash family).
+
+    Oracle: the crc64 word-hash dictionary (computed once from the corpus
+    vocabulary by functions/crc.crc64 — itself differentially tested
+    against reference helpers/crc64.py) is inlined as a VALUES table; the
+    SQL re-runs the bit-vote sum per lane and re-packs the fingerprint."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_docs(docs, "doc_id", "text").orderBy("id")
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH near-dup pairs over the parity simhash (rows-only)."""
+    """Banded-LSH near-dup pairs over the parity simhash; oracle re-derives
+    every fingerprint in SQL and cross-joins with bit_count(xor) <= 5."""
     docs = _t(spark, sf_dir, "documents")
     sim = simhash_docs(docs, "doc_id", "text").select("id", "smhash")
     return simhash_near_pairs(sim, threshold=5).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash near-dup pairs (full crc64 lanes) — the production
+    dedup plane: the 32-bit parity fingerprint saturates combinatorially
+    at corpus scale (BASELINE.md), the 64-bit one keeps candidate volume
+    linear. Same banding (threshold+1) + bit_count verify."""
+    docs = _t(spark, sf_dir, "documents")
+    sim = simhash_docs(docs, "doc_id", "text", bits=64).select("id", "smhash")
+    return simhash_near_pairs(sim, threshold=5, bits=64).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash_bitwidth_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bits, n_pairs): measured near-pair density of the 32-bit parity
+    fingerprint vs the 64-bit production fingerprint on the SAME corpus —
+    the quantitative case for widening the dedup plane."""
+    docs = _t(spark, sf_dir, "documents")
+    s32 = simhash_docs(docs, "doc_id", "text", bits=32).select("id", "smhash")
+    s64 = simhash_docs(docs, "doc_id", "text", bits=64).select("id", "smhash")
+    c32 = (
+        simhash_near_pairs(s32, threshold=5, bits=32)
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.lit(32).alias("bits"), "n_pairs")
+    )
+    c64 = (
+        simhash_near_pairs(s64, threshold=5, bits=64)
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.lit(64).alias("bits"), "n_pairs")
+    )
+    return c32.unionByName(c64).orderBy("bits")
+
+
+_WORDHASH_VALUES_SQL: str | None = None
+
+
+def _wordhash_values() -> str:
+    """VALUES rows (word, h32, h64): crc64 hash of every whitespace token
+    in the testdata documents tables, as MSB-first bit strings. Computed
+    once per process by functions/crc.crc64 (differentially tested vs
+    reference helpers/crc64.py) — this is the 'materialized word-hash
+    dictionary' that makes the simhash plane SQL-checkable."""
+    global _WORDHASH_VALUES_SQL
+    if _WORDHASH_VALUES_SQL is None:
+        import glob
+
+        import duckdb
+
+        from spacetime_crawler4_spark.functions.crc import crc64
+
+        words: set[str] = set()
+        con = duckdb.connect()
+        for p in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+            got = con.sql(
+                "SELECT DISTINCT unnest([t for t in regexp_split_to_array("
+                "lower(text), '\\s+') if t <> '']) AS w FROM "
+                f"read_parquet('{p}')"
+            ).fetchall()
+            words.update(w for (w,) in got)
+        con.close()
+        rows = []
+        for w in sorted(words):
+            h = crc64(w.encode("utf-8"))
+            q = w.replace("'", "''")
+            rows.append(
+                f"('{q}', '{format(h & 0xFFFFFFFF, '032b')}', '{format(h, '064b')}')"
+            )
+        if not rows:  # keep the SQL syntactically valid without testdata
+            rows = [f"('', '{'0' * 32}', '{'0' * 64}')"]
+        _WORDHASH_VALUES_SQL = ", ".join(rows)
+    return _WORDHASH_VALUES_SQL
+
+
+def _sql_simhash_fp(width: int) -> str:
+    """Shared CTE chain ending in fp(id, smhash_str[, smhash]): the per-doc
+    simhash re-derived in SQL — reference tokenization (whitespace split
+    minus the vendored stopword list, exactly the reference tokenizer's
+    output on this corpus — see q_crawl_top50_parity_tokens), word counts,
+    crc64 dictionary join, per-lane bit-vote sum, MSB-first packing."""
+    stop = ", ".join("'" + w.replace("'", "''") + "'" for w in _stopwords())
+    hcol = "h32" if width == 32 else "h64"
+    num = (
+        ",\n              CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) "
+        "<< (31 - i) ELSE 0 END) AS BIGINT) AS smhash"
+        if width == 32
+        else ""
+    )
+    num_outer = ", coalesce(fp0.smhash, 0) AS smhash" if width == 32 else ""
+    return f"""
+toks AS (SELECT doc_id AS id,
+                unnest([t for t in regexp_split_to_array(lower(text), '\\s+')
+                        if t <> '' AND t NOT IN ({stop})]) AS word
+         FROM documents),
+wc AS (SELECT id, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+wh(word, h32, h64) AS (VALUES {_wordhash_values()}),
+votes AS (SELECT wc.id, b.i,
+                 sum(CASE WHEN substr(wh.{hcol}, b.i + 1, 1) = '1'
+                          THEN wc.cnt ELSE -wc.cnt END) AS v
+          FROM wc JOIN wh USING (word)
+          CROSS JOIN (SELECT unnest(range(0, {width})) AS i) b
+          GROUP BY 1, 2),
+fp0 AS (SELECT id,
+              string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                         ORDER BY i) AS smhash_str{num}
+        FROM votes GROUP BY id),
+fp AS (SELECT d.doc_id AS id,
+              coalesce(fp0.smhash_str, repeat('0', {width})) AS smhash_str{num_outer}
+       FROM documents d LEFT JOIN fp0 ON fp0.id = d.doc_id)
+"""
+
+
+def _sql_simhash_refparity() -> str:
+    return f"WITH {_sql_simhash_fp(32)} SELECT id, smhash, smhash_str FROM fp ORDER BY id"
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""
+WITH {_sql_simhash_fp(32)}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(hamming(a.smhash_str, b.smhash_str) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE hamming(a.smhash_str, b.smhash_str) <= 5
+ORDER BY id_a, id_b
+"""
+
+
+def _sql_simhash64_pairs() -> str:
+    return f"""
+WITH {_sql_simhash_fp(64)}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(hamming(a.smhash_str, b.smhash_str) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE hamming(a.smhash_str, b.smhash_str) <= 5
+ORDER BY id_a, id_b
+"""
+
+
+def _sql_simhash_bitwidth_density() -> str:
+    return f"""
+WITH fp32 AS (WITH {_sql_simhash_fp(32)} SELECT id, smhash_str FROM fp),
+fp64 AS (WITH {_sql_simhash_fp(64)} SELECT id, smhash_str FROM fp),
+c32 AS (SELECT 32 AS bits, count(*) AS n_pairs
+        FROM fp32 a JOIN fp32 b ON a.id < b.id
+        WHERE hamming(a.smhash_str, b.smhash_str) <= 5),
+c64 AS (SELECT 64 AS bits, count(*) AS n_pairs
+        FROM fp64 a JOIN fp64 b ON a.id < b.id
+        WHERE hamming(a.smhash_str, b.smhash_str) <= 5)
+SELECT bits, n_pairs FROM c32 UNION ALL SELECT bits, n_pairs FROM c64
+ORDER BY bits
+"""
 
 
 # --------------------------------------------------------------------------
@@ -867,8 +1021,13 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "dedup_prefix_buckets": (q_dedup_prefix_buckets, SQL_DEDUP_PREFIX),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
-        "dedup_simhash_refparity": (q_dedup_simhash_refparity, None),
-        "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
+        "dedup_simhash_refparity": (q_dedup_simhash_refparity, _sql_simhash_refparity()),
+        "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
+        "dedup_simhash64_pairs": (q_dedup_simhash64_pairs, _sql_simhash64_pairs()),
+        "dedup_simhash_bitwidth_density": (
+            q_dedup_simhash_bitwidth_density,
+            _sql_simhash_bitwidth_density(),
+        ),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
