@@ -69,14 +69,29 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    sh: DataFrame, *, min_jaccard: float | None = None, top_k: int | None = None
+    sh: DataFrame,
+    *,
+    min_jaccard: float | None = None,
+    top_k: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise word-shingle Jaccard: (id_a, id_b, jaccard) with id_a < id_b.
 
     ``sh`` is a (id, shingle) distinct-shingle frame. The equi-join on
     shingle enumerates only co-occurring pairs. Either threshold by
     ``min_jaccard`` or return the global ``top_k`` (ordered desc, then ids).
+
+    ``max_df`` bounds the join: a shingle in d documents contributes
+    d·(d-1)/2 pair rows, so head shingles make the co-occurrence join
+    quadratic at corpus scale. Dropping shingles with doc-frequency above
+    ``max_df`` (standard df-capping) caps every bucket at
+    max_df·(max_df-1)/2 — the join input is then linear in the corpus.
+    Sizes and intersections are both computed on the capped shingle set,
+    so the jaccard stays a true Jaccard of the capped sets.
     """
+    if max_df is not None:
+        dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfc.filter(F.col("_df") <= max_df), "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -78,27 +78,37 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, embedding, cell): nearest-centroid assignment.
+    """(vec_id, embedding, cell): nearest-centroid assignment, ZERO shuffle.
 
-    ``centroids`` is (cell:int, cvec:array) — tiny, broadcast. ``max_by``
-    aggregation picks the best cell without a window (single shuffle on
-    vec_id is avoided entirely: groupBy key is the vector's own id, and
-    AQE coalesces). Deterministic tie-break on lowest cell id via the
-    (cos, -cell) ordering struct.
+    ``centroids`` is (cell:int, cvec:array) — a coarse codebook, tiny by
+    construction, so it is collected and inlined as literal arrays; the
+    argmax cell is then a per-row ``array_max`` over struct(ccos, -cell)
+    (deterministic lowest-cell tie-break), computed entirely inside the
+    scan's projection. The round-1 formulation shuffled every embedding
+    through a groupBy(vec_id) just to pick the argmax — at 100 TB of
+    vectors that shuffle IS the job; this one has no Exchange at all
+    (asserted by tests/test_plans.py).
     """
-    scored = (
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "embedding",
-            "cell",
-            F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("ccos"),
-        )
+    cents = sorted(
+        centroids.select("cell", "cvec").collect(), key=lambda r: r["cell"]
     )
-    return scored.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
-        F.max_by("cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))).alias("cell"),
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid codebook")
+    e = F.col(vec_col)
+    candidates = [
+        F.struct(
+            F.round(cosine(e, F.array(*[F.lit(float(x)) for x in r["cvec"]])), 6).alias(
+                "ccos"
+            ),
+            F.lit(-int(r["cell"])).alias("nc"),
+        )
+        for r in cents
+    ]
+    best = F.array_max(F.array(*candidates))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        (-best["nc"]).alias("cell"),
     )
 
 

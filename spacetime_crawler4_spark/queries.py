@@ -203,18 +203,28 @@ FROM keyed GROUP BY bucket HAVING count(*) > 1 ORDER BY bucket
 """
 
 
+JACCARD_MAX_DF = 32  # df cap: bounds every shingle bucket's pair fan-out
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar document pairs by word-3-gram Jaccard."""
+    """Top-20 most-similar document pairs by word-3-gram Jaccard, with the
+    standard doc-frequency cap on shingles (a shingle in d docs contributes
+    d²/2 join rows; capping df keeps the co-occurrence join linear at
+    corpus scale — the oracle applies the identical cap)."""
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(word_shingles(docs, "doc_id", "text", 3), top_k=20)
+    return jaccard_pairs(
+        word_shingles(docs, "doc_id", "text", 3), top_k=20, max_df=JACCARD_MAX_DF
+    )
 
 
 SQL_DEDUP_JACCARD = f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
-sh AS (SELECT doc_id AS id,
+sh0 AS (SELECT doc_id AS id,
               unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
                                     for i in range(1, len(ts) - 1)])) AS shingle
        FROM toks),
+dfc AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {JACCARD_MAX_DF}),
+sh AS (SELECT id, sh0.shingle FROM sh0 JOIN dfc USING (shingle)),
 sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id

@@ -77,3 +77,17 @@ def test_topk_uses_take_ordered(spark):
     from spacetime_crawler4_spark.queries import q_report_top50_words
 
     assert "TakeOrderedAndProject" in _plan(q_report_top50_words(spark, SF))
+
+
+def test_ivf_assign_has_no_exchange(spark):
+    """Nearest-centroid assignment must be a pure per-row projection over
+    the scan — the codebook is inlined, so there is NO shuffle of the
+    embedding vectors (round-1 shuffled every vector through a
+    groupBy(vec_id); at 100 TB of vectors that shuffle is the whole job)."""
+    from spacetime_crawler4_spark.operators.similarity import ivf_assign
+    from spacetime_crawler4_spark.queries import _centroids_df
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ivf_assign(emb, _centroids_df(spark, emb)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
