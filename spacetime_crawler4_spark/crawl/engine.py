@@ -114,6 +114,9 @@ class CrawlEngine:
         self.can_fetch_udf = make_can_fetch_udf(self.cfg.user_agent)
         self.metrics: list[dict] = []
         self.wave_no = 0
+        # per-wave state deltas accumulated since the last store commit
+        # (frontier upserts + append-table rows) — O(delta) commit I/O
+        self._pending: list[dict[str, DataFrame]] = []
         # cross-wave state keeps a bounded, stable partitioning: unioning
         # per-wave deltas would otherwise grow the partition count (and the
         # task count of every downstream join) without bound
@@ -267,17 +270,17 @@ class CrawlEngine:
             )
         ).cache()
         self._wave_caches.append(parsed_doms)
+        dom_append = parsed_doms.select(
+            "domain",
+            "disallow_all",
+            "allow_all",
+            "crawl_delay",
+            F.col("body").alias("rules_body"),
+            "sitemap_urls",
+        )
+        self._delta_domains = dom_append
         self.domains = (
-            self.domains.unionByName(
-                parsed_doms.select(
-                    "domain",
-                    "disallow_all",
-                    "allow_all",
-                    "crawl_delay",
-                    F.col("body").alias("rules_body"),
-                    "sitemap_urls",
-                )
-            )
+            self.domains.unionByName(dom_append)
         ).coalesce(self._nparts).localCheckpoint(eager=False)
 
         # ---- S4 sitemap seeding (frontier.py:165-176): fresh nurls at
@@ -463,8 +466,10 @@ class CrawlEngine:
             )
         )
         masters = fresh_ex.filter(F.col("_rk") == 1).drop("_rk", "_exmaster")
+        ex_append = masters.select("exhash", F.col("urlhash").alias("master"))
+        self._delta_exact = ex_append
         self.exact_buckets = self.exact_buckets.unionByName(
-            masters.select("exhash", F.col("urlhash").alias("master"))
+            ex_append
         ).coalesce(self._nparts).localCheckpoint(eager=False)
 
         # ---- T1/T2 parse + T3-T5 tokenize + F12 low-info + C4 simhash,
@@ -736,13 +741,15 @@ class CrawlEngine:
         else:
             within_dups = self._distributed_election(pairs)
         new_masters = fresh.join(within_dups, "urlhash", "left_anti")
+        sim_append = new_masters.select(
+            "smhash",
+            F.col("urlhash").alias("master"),
+            F.col("gen").alias("mgen"),
+            F.col("seq").alias("mseq"),
+        )
+        self._delta_sim = sim_append
         self.sim_index = self.sim_index.unionByName(
-            new_masters.select(
-                "smhash",
-                F.col("urlhash").alias("master"),
-                F.col("gen").alias("mgen"),
-                F.col("seq").alias("mseq"),
-            )
+            sim_append
         ).coalesce(self._nparts).localCheckpoint(eager=False)
         return vs_masters.unionByName(within_dups)
 
@@ -823,6 +830,7 @@ class CrawlEngine:
             if n == 0:
                 break
             updates, inserts, counters = self.run_wave(wave)
+            raw_updates, raw_inserts = updates, inserts
             # finish-code histogram rides the materialization job as an
             # Observation (accumulator-backed) — no extra pass
             from pyspark.sql import Observation
@@ -861,18 +869,60 @@ class CrawlEngine:
                 df.unpersist()
             self._prev_wave_caches = self._wave_caches
             self._wave_caches = []
-            if self.store is not None and (
-                (self.wave_no + 1) % cfg.checkpoint_every == 0
-            ):
-                self.store.commit(
-                    self.wave_no,
+            if self.store is not None:
+                # the rows this wave touched: updated wave rows + inserts
+                # (disjoint urlhash sets within one wave) — the O(delta)
+                # upsert payload of the next commit
+                self._pending.append(
                     {
-                        "frontier": self.frontier,
-                        "domains": self.domains,
-                        "exact_buckets": self.exact_buckets,
-                        "sim_index": self.sim_index,
-                    },
-                    self.metrics,
+                        "frontier": raw_updates.unionByName(raw_inserts),
+                        "domains": self._delta_domains,
+                        "exact_buckets": self._delta_exact,
+                        "sim_index": self._delta_sim,
+                    }
                 )
+                if (self.wave_no + 1) % cfg.checkpoint_every == 0:
+                    self._commit_state()
             self.wave_no += 1
         return self.frontier
+
+    def _commit_state(self) -> None:
+        """Commit pending wave deltas: a delta commit (O(touched rows))
+        normally; a full base snapshot for the first commit and every
+        ``store.compact_every`` deltas (compaction — Iceberg MOR rewrite)."""
+        store = self.store
+        if (
+            store.latest_wave() is None
+            or store.delta_count() + 1 > store.compact_every
+        ):
+            store.commit(
+                self.wave_no,
+                {
+                    "frontier": self.frontier,
+                    "domains": self.domains,
+                    "exact_buckets": self.exact_buckets,
+                    "sim_index": self.sim_index,
+                },
+                self.metrics,
+            )
+        else:
+            merged: dict[str, DataFrame] = {}
+            for name in ("frontier", "domains", "exact_buckets", "sim_index"):
+                parts = [
+                    p[name].withColumn("_dwave", F.lit(i))
+                    for i, p in enumerate(self._pending)
+                ]
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                if name == "frontier" and len(parts) > 1:
+                    # multi-wave pending: latest version of a urlhash wins
+                    w = Window.partitionBy("urlhash").orderBy(F.desc("_dwave"))
+                    u = (
+                        u.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn")
+                    )
+                merged[name] = u.drop("_dwave")
+            store.commit_delta(self.wave_no, merged, self.metrics)
+        self._pending = []
