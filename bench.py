@@ -76,6 +76,15 @@ def _mk_spark(cores: int):
     return spark
 
 
+def _stop(spark) -> None:
+    """Stop a session without polluting stderr: the Python accumulator
+    server can lose a race with late task-completion events during
+    shutdown, and the DAGScheduler logs the (harmless) stack trace at
+    ERROR — mute the JVM logger first so BENCH json stays clean."""
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+
+
 def _ensure_corpus() -> None:
     from spacetime_crawler4_spark.sources.benchgen import write_bench_corpus
 
@@ -230,7 +239,7 @@ def run_scaling() -> dict:
                 walls.append(time.time() - t0)
             wall = min(walls)
         finally:
-            spark.stop()
+            _stop(spark)
         out[f"local[{cores}]_s"] = round(wall, 2)
         out[f"local[{cores}]_pages_per_sec"] = round(n_pages / wall, 1)
     thr_lo = 1.0 / out[f"local[{LO}]_s"]
@@ -263,7 +272,7 @@ def main() -> None:
         queries = run_queries(spark)
         crawl = run_crawl(spark)
     finally:
-        spark.stop()
+        _stop(spark)
 
     scaling = run_scaling()
 

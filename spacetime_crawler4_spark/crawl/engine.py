@@ -93,9 +93,14 @@ class CrawlEngine:
         seeds: list[str],
         config: CrawlConfig | None = None,
         state_dir: str | None = None,
+        fetcher=None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
+        # optional live-fetch stage (crawl/fetch.py): DataFrame[url] ->
+        # DataFrame[FETCH_SCHEMA], joined in place of the corpus equi-join
+        # (reference crawler2/download.py:22-40 surface)
+        self.fetcher = fetcher
         self.pages = spark.read.parquet(pages_path).select(
             "url",
             F.col("status").alias("page_status"),
@@ -121,6 +126,8 @@ class CrawlEngine:
         # per-wave deltas would otherwise grow the partition count (and the
         # task count of every downstream join) without bound
         self._nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # the last processed wave (checkpointed) — step-mode dump source
+        self.last_wave: DataFrame | None = None
         self.frontier: DataFrame | None = None
         self.domains: DataFrame | None = None
         self.exact_buckets: DataFrame | None = None
@@ -332,8 +339,15 @@ class CrawlEngine:
             )
         )
 
-        # ---- S2/J2 fetch = equi-join against the pages corpus
-        fetched = gated.filter(F.col("_allowed")).join(self.pages, "url", "left")
+        # ---- S2/J2 fetch = equi-join against the pages corpus, or the
+        # live-fetch mapInPandas stage when a fetcher is injected (same
+        # output columns, so the rest of the wave plan is unchanged)
+        allowed = gated.filter(F.col("_allowed"))
+        if self.fetcher is None:
+            fetched = allowed.join(self.pages, "url", "left")
+        else:
+            responses = self.fetcher(allowed.select("url").distinct())
+            fetched = allowed.join(responses, "url", "left")
         has_page = F.col("page_status").isNotNull()
         eff = F.when(F.col("retries") < F.col("retry_after"), 503).otherwise(
             F.col("page_status")
@@ -829,6 +843,7 @@ class CrawlEngine:
             n = wave.count()
             if n == 0:
                 break
+            self.last_wave = wave
             updates, inserts, counters = self.run_wave(wave)
             raw_updates, raw_inserts = updates, inserts
             # finish-code histogram rides the materialization job as an

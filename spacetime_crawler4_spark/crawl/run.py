@@ -42,7 +42,17 @@ def main(argv: list[str] | None = None) -> dict:
         type=int,
         help="print the first N frontier rows (reference print_nap.py analogue)",
     )
+    ap.add_argument(
+        "--step",
+        action="store_true",
+        help="manual step mode (reference launchman.py / crawlerman): run "
+        "exactly ONE wave against the snapshot store, print every row the "
+        "wave touched, and exit — re-invoke with --step --resume to "
+        "advance wave by wave",
+    )
     args = ap.parse_args(argv)
+    if args.step and not args.state:
+        ap.error("--step requires --state (waves advance through the store)")
 
     seeds_tbl = pq.read_table(args.seeds).to_pylist()
     seeds = [r["url"] for r in sorted(seeds_tbl, key=lambda r: r["seq"])]
@@ -53,11 +63,22 @@ def main(argv: list[str] | None = None) -> dict:
         whitelist=whitelist,
         wave_seconds=args.wave_seconds,
         global_budget=args.global_budget,
-        max_waves=args.max_waves,
+        max_waves=1 if args.step else args.max_waves,
     )
     eng = CrawlEngine(spark, args.pages, args.robots, seeds, cfg, state_dir=args.state)
     t0 = time.time()
     frontier = eng.run(resume=args.resume)
+    if args.step and eng.last_wave is not None:
+        # step-mode debugging dump (launchman.py semantics: one manual
+        # step, inspect, repeat): the processed wave's rows with their NEW
+        # state, in FIFO order, plus the wave counters
+        touched = frontier.join(
+            eng.last_wave.select("urlhash"), "urlhash", "left_semi"
+        )
+        touched.orderBy("gen", "seq").drop("words", "links").show(
+            1000, truncate=50
+        )
+        print("wave counters:", json.dumps(eng.metrics[-1] if eng.metrics else {}))
     n = frontier.count()
     wall = time.time() - t0
     out = {
