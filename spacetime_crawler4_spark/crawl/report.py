@@ -14,8 +14,12 @@ from pyspark.sql import functions as F
 from spacetime_crawler4_spark.crawl.schema import FINISH, STATUS
 
 # report/report.py:15-19 — valid-word filter; the manual filter list is the
-# reference's ad-hoc noise list, kept configurable here
+# reference's ad-hoc noise list, kept configurable here. A REPORT.txt
+# parity run must pass REFERENCE_MANUAL_FILTER (report.py:15
+# MANUAL_WORD_FILTER verbatim); the default is empty because the fixture
+# corpora contain neither word.
 DEFAULT_MANUAL_FILTER: tuple[str, ...] = ()
+REFERENCE_MANUAL_FILTER: tuple[str, ...] = ("markellekelly", "ramesh")
 
 
 def _valid_word(manual_filter=DEFAULT_MANUAL_FILTER):
