@@ -72,7 +72,10 @@ def _mk_spark(cores: int):
             "spark.sql.files.maxPartitionBytes": "4m",
         },
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL, not ERROR: stopping/starting local sessions in one JVM churns
+    # the Python accumulator server and the DAGScheduler logs the harmless
+    # reconnect failures at ERROR — they must not pollute the BENCH artifact
+    spark.sparkContext.setLogLevel("FATAL")
     return spark
 
 

@@ -89,22 +89,45 @@ def ivf_assign(
     vectors that shuffle IS the job; this one has no Exchange at all
     (asserted by tests/test_plans.py).
     """
+    import math
+
     cents = sorted(
         centroids.select("cell", "cvec").collect(), key=lambda r: r["cell"]
     )
     if not cents:
         raise ValueError("ivf_assign: empty centroid codebook")
+
+    def _norm(vec) -> float:
+        # sequential left fold in double — bit-identical to l2norm()/the
+        # DuckDB oracle's sqrt(list_dot_product(v, v))
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
     e = F.col(vec_col)
-    candidates = [
-        F.struct(
-            F.round(cosine(e, F.array(*[F.lit(float(x)) for x in r["cvec"]])), 6).alias(
-                "ccos"
-            ),
-            F.lit(-int(r["cell"])).alias("nc"),
+
+    def _cands(enorm: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        dot(e, F.array(*[F.lit(float(x)) for x in r["cvec"]]))
+                        / (enorm * F.lit(_norm(r["cvec"]))),
+                        6,
+                    ).alias("ccos"),
+                    F.lit(-int(r["cell"])).alias("nc"),
+                )
+                for r in cents
+            ]
         )
-        for r in cents
-    ]
-    best = F.array_max(F.array(*candidates))
+
+    # functional let: transform over a 1-element array binds the embedding
+    # norm ONCE per row (the naive form re-evaluates the l2norm aggregate
+    # once per centroid — k× the work); centroid norms are constants
+    best = F.array_max(
+        F.flatten(F.transform(F.array(l2norm(e)), lambda en: _cands(en)))
+    )
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
