@@ -166,6 +166,168 @@ def ivf_topk(
     )
 
 
+def ivf_cell_ranking(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, probe_rank, cell): each vector's top-``nprobe``
+    centroid cells (probe_rank 0 = nearest). Same inline-codebook per-row
+    evaluation as ivf_assign — zero shuffle; the cell ranking is an
+    ``array_sort`` over the per-centroid cosine structs."""
+    import math
+
+    cents = sorted(
+        centroids.select("cell", "cvec").collect(), key=lambda r: r["cell"]
+    )
+
+    def _norm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    e = F.col(vec_col)
+
+    def _cands(enorm: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        dot(e, F.array(*[F.lit(float(x)) for x in r["cvec"]]))
+                        / (enorm * F.lit(_norm(r["cvec"]))),
+                        6,
+                    ).alias("ccos"),
+                    F.lit(-int(r["cell"])).alias("nc"),
+                )
+                for r in cents
+            ]
+        )
+
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.flatten(F.transform(F.array(l2norm(e)), lambda en: _cands(en)))
+            )
+        ),
+        1,
+        nprobe,
+    )
+    # two steps: a generator whose child embeds lambda HOFs trips the
+    # analyzer (internal error) — project the ranked array first, then
+    # posexplode the plain column
+    tmp = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        ranked.alias("_ranked"),
+    )
+    return tmp.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("_ranked").alias("probe_rank", "c"),
+    ).select("vec_id", "embedding", "probe_rank", (-F.col("c.nc")).alias("cell"))
+
+
+def ivf_topk_multiprobe(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF ANN: search the query's ``nprobe`` nearest cells
+    instead of one — the standard recall knob (probing P of K cells scans
+    ~P/K of the data; recall approaches exact as P grows). The probe is
+    still an equi-join on cell; only the (tiny) query side explodes."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = ivf_cell_ranking(
+        query_ids.join(emb, id_col), centroids, nprobe, id_col, vec_col
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        assigned.alias("e")
+        .join(F.broadcast(q), F.col("e.cell") == F.col("qcell"))
+        .filter(F.col("e.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("e.embedding")), 6).alias("cos"),
+        )
+        .distinct()  # a neighbor can appear via several probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids: tuple[int, ...] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Train a coarse IVF codebook with Lloyd iterations, Spark-side.
+
+    Each iteration: shuffle-free per-row nearest-cell assignment (inline
+    codebook) -> per-cell mean via ONE aggregation (posexplode the vector,
+    avg per (cell, dim) — map-side partial agg). Only the k×dim codebook
+    ever reaches the driver, so this trains on any corpus size. Returns
+    [(cell, centroid_vector)] for broadcast into ivf_assign/_cell_ranking.
+
+    Empty cells keep their previous centroid (standard Lloyd fallback).
+    """
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if seed_ids is None:
+        seeds = [r["vec_id"] for r in base.select("vec_id").orderBy("vec_id").limit(k).collect()]
+    else:
+        seeds = list(seed_ids)
+    code = [
+        (cell, [float(x) for x in r["embedding"]])
+        for cell, r in enumerate(
+            base.join(
+                F.broadcast(
+                    spark.createDataFrame([(v,) for v in seeds], ["svid"])
+                ),
+                base.vec_id == F.col("svid"),
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(code, ["cell", "cvec"])
+        assigned = ivf_assign(base, cdf)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        got = {int(r["cell"]): [float(x) for x in r["cvec"]] for r in means}
+        code = [(cell, got.get(cell, prev)) for cell, prev in code]
+    return code
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     centroids: DataFrame,
