@@ -108,3 +108,60 @@ def test_incremental_crawl_foreachbatch(spark, corpus_dir, tmp_path, engine_fron
     _eng, batch_frontier = engine_frontier
     exp = {r["urlhash"]: (r["status"], r["finish"]) for r in batch_frontier.collect()}
     assert got == exp
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over time-partitioned event
+    drops == the batch lag+running-sum sessionization on the same data."""
+    import duckdb
+
+    from spacetime_crawler4_spark.queries import q_events_sessionize
+    from spacetime_crawler4_spark.streaming.stateful import sessionize_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    # split the events into 3 time-ordered drops (per-user time never goes
+    # backwards across drops — the operator's documented requirement)
+    con = duckdb.connect()
+    drops = tmp_path / "edrops"
+    drops.mkdir()
+    con.execute(
+        f"CREATE VIEW ev AS SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+    )
+    n = con.sql("SELECT count(*) FROM ev").fetchone()[0]
+    third = (n + 2) // 3
+    for i in range(3):
+        con.execute(
+            f"COPY (SELECT * FROM ev ORDER BY ts, event_id LIMIT {third} "
+            f"OFFSET {i * third}) TO '{drops}/drop-{i:03d}.parquet' (FORMAT PARQUET)"
+        )
+    st = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops))
+    )
+    q = (
+        sessionize_stream(st)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # running counters are monotone: final value per user == max
+    got = {
+        r["user_id"]: (r["mx_e"], r["mx_s"])
+        for r in spark.sql(
+            "select user_id, max(n_events) mx_e, max(n_sessions) mx_s "
+            "from sess_stream group by user_id"
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in q_events_sessionize(spark, sf_dir).collect()
+    }
+    assert got == exp
