@@ -640,18 +640,34 @@ class CrawlEngine:
         seen = self.frontier.select("urlhash")
         if self.cfg.seen_bloom_fpp is None:
             return candidates.join(seen, "urlhash", "left_anti")
-        from spacetime_crawler4_spark.functions.bloom import (
-            build_bloom,
-            might_contain_udf,
-        )
+        if self.cfg.seen_filter == "cuckoo":
+            # the north rule's upgrade path: sharded cuckoo filter —
+            # distributed per-shard build, deletion-capable, same
+            # no-false-negative contract (functions/cuckoo.py)
+            from spacetime_crawler4_spark.functions.cuckoo import (
+                build_cuckoo_partitioned,
+                cuckoo_might_contain_udf,
+            )
 
-        blob = build_bloom(
-            self.frontier.select(F.xxhash64(F.col("urlhash")).alias("k")),
-            "k",
-            expected=max(self._frontier_rows, 1024),
-            fpp=self.cfg.seen_bloom_fpp,
-        )
-        probe = might_contain_udf(blob)(F.xxhash64(F.col("urlhash")))
+            shards = build_cuckoo_partitioned(
+                self.frontier.select(F.xxhash64(F.col("urlhash")).alias("k")),
+                "k",
+                expected=max(self._frontier_rows, 1024),
+            )
+            probe = cuckoo_might_contain_udf(shards)(F.xxhash64(F.col("urlhash")))
+        else:
+            from spacetime_crawler4_spark.functions.bloom import (
+                build_bloom,
+                might_contain_udf,
+            )
+
+            blob = build_bloom(
+                self.frontier.select(F.xxhash64(F.col("urlhash")).alias("k")),
+                "k",
+                expected=max(self._frontier_rows, 1024),
+                fpp=self.cfg.seen_bloom_fpp,
+            )
+            probe = might_contain_udf(blob)(F.xxhash64(F.col("urlhash")))
         keyed = candidates.withColumn("_maybe_seen", probe).cache()
         self._wave_caches.append(keyed)
         definitely_new = keyed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")

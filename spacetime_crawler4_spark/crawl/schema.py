@@ -148,6 +148,11 @@ class CrawlConfig:
     # xxhash64(canonical url). None disables (exact anti-join only —
     # results are identical either way; the bloom only prunes probe rows).
     seen_bloom_fpp: float | None = None
+    # seen-set prefilter kind when seen_bloom_fpp is set: "bloom" (JVM
+    # sketch, OR-merged distributed build) or "cuckoo" (sharded numpy
+    # filter, per-shard executor build, deletion-capable — the north
+    # rule's upgrade path, functions/cuckoo.py)
+    seen_filter: str = "bloom"
     # within-wave simhash master election: pair graphs at or below this
     # size are resolved in one driver pass; larger (dense) graphs use the
     # distributed round-based election (engine._distributed_election), so
