@@ -46,9 +46,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
+    "dedup_simhash64_pairs",
     "text_quality",
     "ann_bruteforce",
     "ann_ivf",
+    "ann_ivf_probe2",
     "events_sessionize",
     "tpch_pricing",
     "tpch_top_customers",
@@ -231,18 +233,30 @@ def run_scaling() -> dict:
 
     n_pages = pq.read_metadata(f"{SCALE_CORPUS}/pages.parquet").num_rows
     out = {"kernel_pages": n_pages}
+    # record host contention: this is a SHARED box, and a co-tenant burst
+    # caps the measured efficiency at the HOST's parallel ceiling for
+    # allocation-heavy work (see the controls below; BASELINE.md discusses
+    # measured idle-host values). loadavg >> 0 explains a low raw number.
+    try:
+        out["host_loadavg_1m"] = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        pass
     for cores in (LO, HI):
         spark = _mk_spark(cores)
         try:
             _kernel_job(spark)  # warm (JIT, file listing, UDF workers)
             walls = []
-            for _ in range(2):  # best-of-2: host noise robustness
+            # best-of-N: this is a SHARED host, and a single co-tenant
+            # burst can shave 0.2 off the measured efficiency; the
+            # per-level minimum is the honest capacity number
+            for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "3"))):
                 t0 = time.time()
                 _kernel_job(spark)
                 walls.append(time.time() - t0)
             wall = min(walls)
         finally:
             _stop(spark)
+        out[f"local[{cores}]_walls_s"] = [round(w, 2) for w in walls]
         out[f"local[{cores}]_s"] = round(wall, 2)
         out[f"local[{cores}]_pages_per_sec"] = round(n_pages / wall, 1)
     thr_lo = 1.0 / out[f"local[{LO}]_s"]
