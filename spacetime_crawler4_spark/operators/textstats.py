@@ -163,3 +163,44 @@ def doc_fingerprint(
         F.col(id_col).alias("doc_id"),
         F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
     )
+
+
+def rabin_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    base: int = 257,
+    mod: int = 2_147_483_647,
+) -> DataFrame:
+    """Karp–Rabin polynomial (rolling-hash family) fingerprints: the hash
+    of every char k-gram is the Horner fold ``(acc·base + code(c)) % mod``
+    — exactly the value an incremental rolling evaluation produces. With
+    k=8 the per-window fold is 8 fused JVM ops, so the prefix-hash
+    "rolling" recurrence (h_i from h_{i-1}) would save only k-1 multiplies
+    per position at the cost of a sequential per-doc dependency that a
+    declarative engine cannot parallelize — the window fold is the right
+    formulation for Spark AND is portable verbatim to the SQL oracle.
+    Returns (doc_id, n_windows, n_distinct, fp_min, fp_max)."""
+    txt = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - (k - 1), F.lit(1))),
+        lambda i: txt.substr(i, F.lit(k)),
+    )
+    def _h(gram):
+        return F.aggregate(
+            F.filter(F.split(gram, ""), lambda c: c != ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * base + F.ascii(c)) % mod,
+        )
+    rows = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select("doc_id", _h(F.col("gram")).alias("h"))
+    )
+    return rows.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+    )

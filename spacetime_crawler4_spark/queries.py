@@ -741,6 +741,32 @@ FROM fp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_text_rabin_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin rolling-hash-family fingerprints per document (char
+    8-grams, Horner fold mod 2^31-1) — operators/textstats.rabin_fingerprints."""
+    from spacetime_crawler4_spark.operators.textstats import rabin_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return rabin_fingerprints(docs, k=8).orderBy("doc_id")
+
+
+SQL_TEXT_RABIN = """
+WITH g AS (SELECT doc_id,
+                  unnest([substr(lower(text), i, 8)
+                          for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS gram
+           FROM documents),
+h AS (SELECT doc_id,
+             list_reduce([CAST(ascii(c) AS BIGINT)
+                          for c in string_split(gram, '') if c <> ''],
+                         (a, b) -> (a * 257 + b) % 2147483647) AS h
+      FROM g WHERE gram <> '')
+SELECT doc_id, count(*) AS n_windows,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       min(h) AS fp_min, max(h) AS fp_max
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF cell probe against the exact brute force —
     the measured accuracy/cost trade-off of the ANN scale path."""
@@ -1116,6 +1142,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "ann_ivf_probe2": (q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
         "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, None),
         "text_winnow": (q_text_winnow, SQL_TEXT_WINNOW),
+        "text_rabin_fingerprint": (q_text_rabin_fingerprint, SQL_TEXT_RABIN),
         "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
         "events_top_users": (q_events_top_users, SQL_EVENTS_TOP_USERS),
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
