@@ -66,6 +66,21 @@ def _seq_child(seq_col, tag: str, ord_col):
     return F.concat(seq_col, F.lit("." + tag), F.lpad(ord_col.cast("string"), 7, "0"))
 
 
+_POPCOUNT16 = None
+
+
+def _popcount16_lut():
+    """65536-entry popcount table for 16-bit halves (vectorized hamming)."""
+    global _POPCOUNT16
+    if _POPCOUNT16 is None:
+        import numpy as np
+
+        _POPCOUNT16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+        )
+    return _POPCOUNT16
+
+
 def _bands(hash_col, threshold: int = SIMHASH_THRESHOLD, bits: int = SIMHASH_BITS):
     nbands = threshold + 1
     width = (bits + nbands - 1) // nbands
@@ -132,6 +147,12 @@ class CrawlEngine:
         self.domains: DataFrame | None = None
         self.exact_buckets: DataFrame | None = None
         self.sim_index: DataFrame | None = None
+        # driver-side master-hash mirror for the vectorized simhash fast
+        # path: row count (None = unknown -> distributed plan) + the
+        # hashes themselves (lazy; bounded by cfg.simhash_numpy_cap)
+        self._sim_index_rows: int | None = 0
+        self._sim_hashes = None
+        self._wave_n: int | None = None
 
     # ------------------------------------------------------------- state
     def init_state(self, resume: bool = False) -> None:
@@ -151,6 +172,9 @@ class CrawlEngine:
                 self.domains = tables["domains"]
                 self.exact_buckets = tables["exact_buckets"]
                 self.sim_index = tables["sim_index"]
+                # size the vectorized-simhash gate; hashes collect lazily
+                self._sim_index_rows = self.sim_index.count()
+                self._sim_hashes = None
                 self.metrics = metrics
                 self._frontier_rows = self.frontier.count()
                 return
@@ -698,6 +722,10 @@ class CrawlEngine:
         """
         spark = self.spark
         cand = good.select("urlhash", "gen", "seq", "smhash")
+        if self.cfg.simhash_numpy_cap > 0:
+            done = self._simhash_stage_vectorized(cand)
+            if done is not None:
+                return done
         cband = cand.select("urlhash", "gen", "seq", "smhash", _bands(F.col("smhash")).alias("b"))
         mband = self.sim_index.select(
             "master", "smhash", _bands(F.col("smhash")).alias("b")
@@ -748,10 +776,14 @@ class CrawlEngine:
             .cache()
         )
         self._wave_caches.append(pairs)
-        n_pairs = pairs.count()
-        if n_pairs <= self.cfg.simhash_driver_cap:
+        # bounded probe-collect: ONE job decides the path AND fetches the
+        # sparse-case graph (limit(cap+1) caps driver memory by
+        # construction — a count-then-collect pair would cost two jobs)
+        cap = self.cfg.simhash_driver_cap
+        probe = pairs.limit(cap + 1).collect()
+        if len(probe) <= cap:
             # sparse wave: one-pass greedy on the collected chain graph
-            collected = pairs.collect()
+            collected = probe
             nodes: dict[str, tuple] = {}
             edges: dict[str, list[str]] = {}
             for r in collected:
@@ -782,6 +814,104 @@ class CrawlEngine:
             sim_append
         ).coalesce(self._nparts).localCheckpoint(eager=False)
         return vs_masters.unionByName(within_dups)
+
+    # -------------------------------------- vectorized simhash fast path
+    def _simhash_stage_vectorized(self, cand: DataFrame):
+        """Driver-vectorized near-dup pass for politeness-bounded waves.
+
+        The 32-bit parity fingerprint saturates its band buckets (64
+        values per 6-bit band), so on dense waves the banded self-join
+        materializes tens of millions of candidate pairs — yet the HASHES
+        are tiny (12 B/row). Below ``simhash_numpy_cap`` rows (wave AND
+        master index), this collects only (urlhash, gen, seq, smhash) and
+        replays the reference's exact sequential discipline
+        (workerpipe.py:261 — scan each page in FIFO order against all
+        masters so far, hamming<=5 => dup, else it becomes a master) with
+        blocked numpy XOR+popcount — identical output to the banded plan,
+        measured ~10x on saturated waves. The master-hash array is carried
+        across waves on the driver (O(masters) — bounded by the cap).
+
+        Returns the TOO_SIMILAR urlhash DF, or None to fall back to the
+        fully distributed banded plan (mega waves / huge index); the
+        fallback permanently disables this path for the run (the index
+        can then contain masters the driver copy never saw).
+        """
+        import numpy as np
+
+        cap = self.cfg.simhash_numpy_cap
+        if self._sim_index_rows is None or self._sim_index_rows > cap:
+            return None
+        if self._wave_n is None or self._wave_n > cap:
+            # mega wave: banded plan will add masters the driver copy
+            # never sees — disable the fast path for the rest of the run
+            self._sim_index_rows = None
+            return None
+        # plain collect, NOT limit().collect(): CollectLimit schedules scan
+        # partitions incrementally and would serialize the wave's (cached)
+        # fused-UDF job; the wave bound above already caps driver memory
+        rows = cand.collect()
+        spark = self.spark
+        if self._sim_hashes is None:
+            # first vectorized wave after a resume: one bounded collect
+            self._sim_hashes = np.array(
+                [r["smhash"] for r in self.sim_index.select("smhash").collect()],
+                dtype=np.int64,
+            ).astype(np.uint64)
+        lut = _popcount16_lut()
+        thr = SIMHASH_THRESHOLD
+        order = sorted(range(len(rows)), key=lambda i: (rows[i]["gen"], rows[i]["seq"]))
+        m0 = len(self._sim_hashes)
+        masters = np.empty(m0 + len(rows), dtype=np.uint64)
+        masters[:m0] = self._sim_hashes
+        m = m0
+        # 32-bit parity fingerprints need only the two low 16-bit lookups
+        wide = bool(m0 and (self._sim_hashes >> np.uint64(32)).any()) or any(
+            (r["smhash"] or 0) >> 32 for r in rows
+        )
+        dups: list[str] = []
+        CHUNK = 8192
+        for i in order:
+            h = np.uint64(np.int64(rows[i]["smhash"]))
+            is_dup = False
+            # newest-first chunks: a near-dup's master was almost always
+            # created moments earlier in the same wave (family pages), so
+            # the early exit fires in the first block
+            for e in range(m, 0, -CHUNK):
+                x = masters[max(e - CHUNK, 0) : e] ^ h
+                pc = lut[(x & np.uint64(0xFFFF)).astype(np.int64)] + lut[
+                    ((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)
+                ]
+                if wide:
+                    pc = (
+                        pc
+                        + lut[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+                        + lut[(x >> np.uint64(48)).astype(np.int64)]
+                    )
+                if (pc <= thr).any():
+                    is_dup = True
+                    break
+            if is_dup:
+                dups.append(rows[i]["urlhash"])
+            else:
+                masters[m] = h
+                m += 1
+        self._sim_hashes = masters[:m]
+        self._sim_index_rows = m
+        dup_df = spark.createDataFrame(
+            [(u,) for u in sorted(dups)], "urlhash string"
+        )
+        new_masters = cand.join(dup_df, "urlhash", "left_anti")
+        sim_append = new_masters.select(
+            "smhash",
+            F.col("urlhash").alias("master"),
+            F.col("gen").alias("mgen"),
+            F.col("seq").alias("mseq"),
+        )
+        self._delta_sim = sim_append
+        self.sim_index = self.sim_index.unionByName(
+            sim_append
+        ).coalesce(self._nparts).localCheckpoint(eager=False)
+        return dup_df
 
     # ------------------------------------------- distributed dup election
     def _distributed_election(self, pairs: DataFrame) -> DataFrame:
@@ -860,6 +990,7 @@ class CrawlEngine:
             if n == 0:
                 break
             self.last_wave = wave
+            self._wave_n = n
             updates, inserts, counters = self.run_wave(wave)
             raw_updates, raw_inserts = updates, inserts
             # finish-code histogram rides the materialization job as an

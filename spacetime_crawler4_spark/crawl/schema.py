@@ -158,6 +158,13 @@ class CrawlConfig:
     # distributed round-based election (engine._distributed_election), so
     # a saturated wave can never OOM the driver. 0 forces distributed.
     simhash_driver_cap: int = 20_000
+    # vectorized simhash fast path: when BOTH the wave and the master
+    # index fit under this many rows, the near-dup pass replays the
+    # reference's sequential FIFO scan with blocked numpy popcount on the
+    # driver (hashes only — 12 B/row) instead of the banded join, which
+    # saturates combinatorially on 32-bit fingerprints
+    # (engine._simhash_stage_vectorized). 0 disables (always distributed).
+    simhash_numpy_cap: int = 200_000
 
     def domain_budget(self, crawl_delay: float | None) -> int | None:
         if self.wave_seconds is None:

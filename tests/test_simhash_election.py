@@ -79,13 +79,17 @@ def _write_dense_corpus(out_dir: str) -> None:
     )
 
 
-def _run(spark, out: str, cap: int):
+def _run(spark, out: str, cap: int, numpy_cap: int = 0):
     eng = CrawlEngine(
         spark,
         f"{out}/pages.parquet",
         f"{out}/robots.parquet",
         [f"http://{HOST}/"],
-        CrawlConfig(whitelist=(".dense.test",), simhash_driver_cap=cap),
+        CrawlConfig(
+            whitelist=(".dense.test",),
+            simhash_driver_cap=cap,
+            simhash_numpy_cap=numpy_cap,
+        ),
     )
     return eng.run().collect()
 
@@ -93,8 +97,8 @@ def _run(spark, out: str, cap: int):
 def test_distributed_election_matches_driver_greedy(spark, tmp_path):
     out = str(tmp_path)
     _write_dense_corpus(out)
-    # cap=0 forces the distributed path for every wave; the huge cap forces
-    # the driver collect path — outputs must be row-for-row identical
+    # numpy_cap=0 pins the banded plan; cap=0 then forces the distributed
+    # election, the huge cap the driver collect path — row-for-row equal
     dist_rows = _run(spark, out, cap=0)
     drv_rows = _run(spark, out, cap=10**9)
 
@@ -114,3 +118,19 @@ def test_distributed_election_matches_driver_greedy(spark, tmp_path):
     sim = [r for r in fam if r["finish"] == FINISH.TOO_SIMILAR]
     assert ok == [f"http://{HOST}/near/0"]
     assert len(sim) == N_NEAR - 1
+
+
+def test_vectorized_fast_path_matches_banded(spark, tmp_path):
+    """The numpy FIFO-scan fast path (default) must equal the banded
+    distributed plan on the dense family."""
+    out = str(tmp_path)
+    _write_dense_corpus(out)
+    vec_rows = _run(spark, out, cap=10**9, numpy_cap=200_000)
+    band_rows = _run(spark, out, cap=10**9, numpy_cap=0)
+    v = {r["urlhash"]: r.asDict() for r in vec_rows}
+    b = {r["urlhash"]: r.asDict() for r in band_rows}
+    assert v.keys() == b.keys()
+    for h in b:
+        a, c = dict(v[h]), dict(b[h])
+        a["words"], c["words"] = dict(a["words"] or {}), dict(c["words"] or {})
+        assert a == c, c["url"]
