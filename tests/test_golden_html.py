@@ -72,3 +72,42 @@ def test_differential_fixture_corpus_vs_real_bs4_lxml(corpus_dir):
         assert got.text_fragments == frags, r["url"]
         checked += 1
     assert checked > 100
+
+
+# ---------------------------------------------------------------------------
+# robustness fuzz: a crawler's extractor meets arbitrary garbage — it must
+# never raise, and its outputs must honor the structural contract
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_html_ish = st.one_of(
+    st.binary(max_size=400),
+    st.text(
+        alphabet='<>&;/!-="abcdefp aATChref#%\x00\xe9 \U0001f600',
+        max_size=400,
+    ).map(lambda s: s.encode("utf-8", errors="ignore")),
+    st.from_regex(
+        rb'(<[a-zA-Z!/][^>]{0,20}>|&[a-zA-Z#0-9]{0,8};?|[a-z \n]{1,12}){1,25}',
+        fullmatch=True,
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_html_ish)
+def test_extractor_never_raises_and_honors_contract(payload):
+    got = extract_page("http://f.test/a/b.html", payload)
+    # fragments: non-empty, stripped, in a list
+    for frag in got.text_fragments:
+        assert isinstance(frag, str) and frag == frag.strip() and frag
+    # links: absolutized, defragged, normalized, sorted, deduped
+    assert got.links == sorted(set(got.links))
+    for link in got.links:
+        assert "#" not in link
+        assert not link.endswith("/")
+    # determinism
+    again = extract_page("http://f.test/a/b.html", payload)
+    assert again.text_fragments == got.text_fragments
+    assert again.links == got.links
