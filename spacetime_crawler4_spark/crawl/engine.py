@@ -22,11 +22,15 @@ Scale design decisions (SURVEY.md §4):
   polmut.py:19-33, reproduced as budget counting — SURVEY.md §2.9)
 - ordering is data, not time: (gen, seq) keys make crawl order equal to the
   reference's single-threaded FIFO (schema.py docstring)
-- per-wave driver state is O(small): only the within-wave simhash chain
-  graph is collected (bounded by wave near-dup density); everything else
-  stays distributed
-- frontier updates are copy-on-write unions committed per wave; lineage is
-  truncated with localCheckpoint (the Iceberg-snapshot analogue, store.py)
+- per-wave driver state is O(bounded): the near-dup pass runs the
+  vectorized FIFO popcount scan over the wave's HASHES when wave and
+  master index fit under simhash_numpy_cap (the 32-bit parity fingerprint
+  saturates banded LSH buckets — _simhash_stage_vectorized), else the
+  banded join with a cap-gated driver/distributed election; everything
+  else stays distributed
+- frontier updates are copy-on-write unions per wave with localCheckpoint
+  lineage truncation; store commits are O(touched-rows) DELTAS with
+  periodic compaction and merge-on-read load (Iceberg MOR, store.py)
 """
 
 from __future__ import annotations
