@@ -204,3 +204,29 @@ def rabin_fingerprints(
         F.min("h").alias("fp_min"),
         F.max("h").alias("fp_max"),
     )
+
+
+# GPT-2-style pretokenizer pattern, ASCII-simplified so the Java (Spark)
+# and RE2 (DuckDB oracle) dialects agree exactly: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs
+BPE_SPLIT_RE = "'(?:s|t|ll|ve|re|d|m)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting with a BPE-ish regex (the GPT-2 pretokenizer shape):
+    per-doc token count, distinct-token count, and mean chars/token — the
+    budget numbers an LLM-training pipeline prices a corpus with. Pure JVM
+    (regexp_extract_all + array ops), oracle-identical in DuckDB."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_SPLIT_RE), F.lit(0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+        F.round(
+            F.length(F.col(text_col))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -523,6 +523,28 @@ FROM per GROUP BY lang ORDER BY lang
 """
 
 
+def q_text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish (GPT-2 pretokenizer) regex — the
+    corpus-budget numbers an LLM pipeline needs per document."""
+    from spacetime_crawler4_spark.operators.textstats import bpe_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_stats(docs).orderBy("doc_id")
+
+
+_BPE_SQL_RE = "''(?:s|t|ll|ve|re|d|m)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+SQL_TEXT_BPE = f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                  regexp_extract_all(lower(text), '{_BPE_SQL_RE}') AS toks
+           FROM documents)
+SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_bpe,
+       round(n_chars / greatest(len(toks), 1), 6) AS chars_per_token
+FROM t ORDER BY doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return doc_fingerprint(docs).orderBy("doc_id")
@@ -1136,6 +1158,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
         "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+        "text_bpe_token_stats": (q_text_bpe_token_stats, SQL_TEXT_BPE),
         "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTE),
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
         "ann_ivf_recall": (q_ann_ivf_recall, _sql_ann_recall()),
