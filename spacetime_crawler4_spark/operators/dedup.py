@@ -134,13 +134,26 @@ def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
 
     Hash family: ``md5(band || ':' || shingle)`` — deterministic, portable
     (the DuckDB oracle computes the identical family), uniform enough for
-    dedup. One shuffle: groupBy(id, band) with map-side partial min.
-    """
-    bands = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("band")
-    return (
-        sh.select("id", "shingle", bands)
-        .groupBy("id", "band")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("sig"))
+    dedup. ONE shuffle on id with map-side partial agg: all k minimums are
+    k aggregate expressions over one pass of the shingles — the tempting
+    explode×k formulation ships k copies of every shingle row through the
+    shuffle and then shuffles again per (id, band)."""
+    wide = sh.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+            ).alias(f"_m{b}")
+            for b in range(k)
+        ]
+    )
+    sigs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"_m{b}").alias("sig"))
+            for b in range(k)
+        ]
+    )
+    return wide.select("id", F.explode(sigs).alias("s")).select(
+        "id", "s.band", "s.sig"
     )
 
 
@@ -150,22 +163,34 @@ def minhash_band_sigs(sh: DataFrame, k: int = 8, r: int = 2) -> DataFrame:
     on a band with probability J^r. With b = k/r bands,
     P(candidate) = 1-(1-J^r)^b: steep around the dedup threshold, tiny for
     background similarity — this is what keeps candidate volume linear on
-    corpora where *everything* is mildly similar."""
-    sig = minhash_signatures(sh, k)
-    return (
-        sig.withColumn("band_id", (F.col("band") / r).cast("int"))
-        .groupBy("id", "band_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("band", "sig"))),
-                        lambda x: x["sig"],
-                    ),
-                )
-            ).alias("bsig")
-        )
+    corpora where *everything* is mildly similar.
+
+    Built on the wide one-pass signature aggregate: banding is a pure
+    projection (zero extra shuffles — round 1 shuffled a second time on
+    (id, band_id) to collect each band's sigs)."""
+    wide = sh.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+            ).alias(f"_m{b}")
+            for b in range(k)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"_m{bi * r + j}") for j in range(r)]
+                    )
+                ).alias("bsig"),
+            )
+            for bi in range(k // r)
+        ]
+    )
+    return wide.select("id", F.explode(bands).alias("b")).select(
+        "id", "b.band_id", "b.bsig"
     )
 
 
