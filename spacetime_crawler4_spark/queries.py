@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from importlib import resources as _res
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1130,6 +1131,106 @@ FROM documents ORDER BY media_id
 """
 
 
+def q_multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: build a 10×10 24-bit BMP whose pixel
+    bytes are the document's text bytes (modular indexing), then DECODE it
+    with the numpy BMP parser (header offset, row padding, bottom-up rows)
+    and emit per-channel means. The oracle recomputes the identical means
+    straight from the text's character codes — any decode bug (padding,
+    row order, channel order) breaks the hash match."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from spacetime_crawler4_spark.operators.multimodal import (
+        encode_bmp,
+        extract_media_features,
+    )
+
+    @pandas_udf(BinaryType())
+    def bmp_payload(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            b = (t or "?").encode("utf-8")
+            pix = bytes(b[j % len(b)] for j in range(300))
+            out.append(encode_bmp(pix, 10, 10))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), bmp_payload(F.col("text")).alias("payload")
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
+# pixel byte j of the BMP is text byte j mod len(text); pixels are stored
+# B,G,R — so channel means are means over code positions 3p / 3p+1 / 3p+2
+SQL_MULTIMODAL_BMP = """
+WITH px AS (SELECT doc_id,
+                   [ascii(substr(text, CAST((j % length(text)) + 1 AS INTEGER), 1))
+                    for j in range(0, 300)] AS cs
+            FROM documents)
+SELECT doc_id, CAST(10 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,
+       round(list_avg([cs[3 * p + 3] for p in range(0, 100)]), 6) AS mean_r,
+       round(list_avg([cs[3 * p + 2] for p in range(0, 100)]), 6) AS mean_g,
+       round(list_avg([cs[3 * p + 1] for p in range(0, 100)]), 6) AS mean_b
+FROM px ORDER BY doc_id
+"""
+
+
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: synthesize 400 PCM16 samples from the
+    text's character codes, wrap them in a RIFF/WAVE container, DECODE with
+    the chunk-walking WAV parser, emit (n_samples, sample_rate, rms); the
+    oracle recomputes rms straight from the codes."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from spacetime_crawler4_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        extract_media_features,
+    )
+
+    @pandas_udf(BinaryType())
+    def wav_payload(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            b = (t or "?").encode("utf-8")
+            samples = [(b[j % len(b)] - 64) * 128 for j in range(400)]
+            out.append(encode_wav_pcm16(samples, 8000))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), wav_payload(F.col("text")).alias("payload")
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_samples",
+        "sample_rate",
+        F.round("rms", 4).alias("rms"),
+    ).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_WAV = """
+WITH s AS (SELECT doc_id,
+                  [(ascii(substr(text, CAST((j % length(text)) + 1 AS INTEGER), 1)) - 64) * 128
+                   for j in range(0, 400)] AS ss
+           FROM documents)
+SELECT doc_id, CAST(400 AS BIGINT) AS n_samples, CAST(8000 AS INTEGER) AS sample_rate,
+       round(sqrt(list_avg([CAST(x AS DOUBLE) * x for x in ss])), 4) AS rms
+FROM s ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1177,4 +1278,6 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+        "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
+        "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
     }
