@@ -56,8 +56,8 @@ from spacetime_crawler4_spark.crawl.udfs import (
 from spacetime_crawler4_spark.functions.exhash import exhash_col
 from spacetime_crawler4_spark.functions.simhash import SIMHASH_BITS, SIMHASH_THRESHOLD
 from spacetime_crawler4_spark.operators.textplane import (
-    crawl_features_udf,
     crawl_words_col,
+    make_crawl_features_udf,
 )
 
 _EMPTY_WORDS = "cast(map() as map<string,int>)"
@@ -134,6 +134,9 @@ class CrawlEngine:
         self.seeds = list(seeds)
         self.store = SnapshotStore(state_dir) if state_dir else None
         self.link_meta_udf = make_link_meta_udf(self.cfg.whitelist)
+        # fused text-plane UDF at the configured fingerprint width (32 =
+        # reference parity; 64 = production plane, BASELINE.md scale notes)
+        self.features_udf = make_crawl_features_udf(self.cfg.simhash_bits)
         self.robots_parse_udf = make_robots_parse_udf(self.cfg.user_agent)
         self.can_fetch_udf = make_can_fetch_udf(self.cfg.user_agent)
         self.metrics: list[dict] = []
@@ -517,7 +520,7 @@ class CrawlEngine:
         # ---- T1/T2 parse + T3-T5 tokenize + F12 low-info + C4 simhash,
         # fused into one Arrow round trip (crawl_features_udf)
         pp = masters.withColumn(
-            "feat", crawl_features_udf(F.col("url"), F.col("html"), F.col("content_type"))
+            "feat", self.features_udf(F.col("url"), F.col("html"), F.col("content_type"))
         ).cache()
         self._wave_caches.append(pp)
         sm_rows = pp.filter(F.col("feat.sitemap"))
@@ -730,9 +733,13 @@ class CrawlEngine:
             done = self._simhash_stage_vectorized(cand)
             if done is not None:
                 return done
-        cband = cand.select("urlhash", "gen", "seq", "smhash", _bands(F.col("smhash")).alias("b"))
+        bits = self.cfg.simhash_bits
+        cband = cand.select(
+            "urlhash", "gen", "seq", "smhash",
+            _bands(F.col("smhash"), bits=bits).alias("b"),
+        )
         mband = self.sim_index.select(
-            "master", "smhash", _bands(F.col("smhash")).alias("b")
+            "master", "smhash", _bands(F.col("smhash"), bits=bits).alias("b")
         ).withColumnRenamed("smhash", "msmhash")
 
         vs_masters = (
@@ -752,7 +759,10 @@ class CrawlEngine:
         self._wave_caches.append(vs_masters)
         fresh = cand.join(vs_masters, "urlhash", "left_anti")
 
-        fband = fresh.select("urlhash", "gen", "seq", "smhash", _bands(F.col("smhash")).alias("b"))
+        fband = fresh.select(
+            "urlhash", "gen", "seq", "smhash",
+            _bands(F.col("smhash"), bits=bits).alias("b"),
+        )
         pairs = (
             fband.alias("a")
             .join(

@@ -158,6 +158,10 @@ class CrawlConfig:
     # distributed round-based election (engine._distributed_election), so
     # a saturated wave can never OOM the driver. 0 forces distributed.
     simhash_driver_cap: int = 20_000
+    # near-dup fingerprint width: 32 = reference parity (helpers/simhash.py
+    # mod-2^32 crc64 lanes; saturates beyond ~10^5 docs — BASELINE.md); 64
+    # = production plane (full crc64 lanes, same vote rule, same LSH plan)
+    simhash_bits: int = 32
     # vectorized simhash fast path: when BOTH the wave and the master
     # index fit under this many rows, the near-dup pass replays the
     # reference's sequential FIFO scan with blocked numpy popcount on the

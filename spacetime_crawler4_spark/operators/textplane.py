@@ -139,45 +139,66 @@ CRAWL_FEATURES_SCHEMA = StructType(
 )
 
 
-@pandas_udf(CRAWL_FEATURES_SCHEMA)
-def crawl_features_udf(url: pd.Series, html: pd.Series, content_type: pd.Series) -> pd.DataFrame:
-    """Fused crawl-path UDF: parse + tokenize + word-count + simhash in ONE
-    Arrow round trip (the split UDFs would ship the words map
-    JVM→Python→JVM again just to hash it). Sitemap rows skip tokenization
-    entirely (reference worker.py:95: sitemaps bypass process_text).
+def make_crawl_features_udf(simhash_bits: int = 32):
+    """Fused crawl-path UDF factory: parse + tokenize + word-count +
+    simhash in ONE Arrow round trip (the split UDFs would ship the words
+    map JVM→Python→JVM again just to hash it). Sitemap rows skip
+    tokenization entirely (reference worker.py:95: sitemaps bypass
+    process_text).
+
+    ``simhash_bits``: 32 is the reference-parity fingerprint; 64 is the
+    production dedup plane (full crc64 lanes — the 32-bit fingerprint
+    saturates beyond ~10^5 docs, BASELINE.md scale notes).
 
     The word map leaves Python as two parallel arrays (keys, counts) —
     Arrow list columns convert far cheaper than map columns — and is
-    reassembled JVM-side with ``map_from_arrays`` (see words_col)."""
-    from spacetime_crawler4_spark.functions.simhash import simhash32
+    reassembled JVM-side with ``map_from_arrays`` (see crawl_words_col)."""
+    from spacetime_crawler4_spark.functions.simhash import simhash32, simhash64
 
-    cols = (
-        "links", "text", "sitemap", "word_keys", "word_cnts",
-        "n_unique", "n_total", "max_count", "smhash",
-    )
-    out = {k: [] for k in cols}
-    for u, h, ct in zip(url, html, content_type):
-        ex = extract_page(u, h or b"", ct or "text/html")
-        out["links"].append(ex.links)
-        out["text"].append(ex.text)
-        out["sitemap"].append(ex.sitemap)
-        if ex.sitemap:
-            out["word_keys"].append([])
-            out["word_cnts"].append([])
-            out["n_unique"].append(0)
-            out["n_total"].append(0)
-            out["max_count"].append(0)
-            out["smhash"].append(0)
-        else:
-            toks = tokenize(ex.text)
-            words = word_count(toks)
-            out["word_keys"].append(list(words.keys()))
-            out["word_cnts"].append(list(words.values()))
-            out["n_unique"].append(len(words))
-            out["n_total"].append(len(toks))
-            out["max_count"].append(max(words.values()) if words else 0)
-            out["smhash"].append(simhash32(words))
-    return pd.DataFrame(out)
+    if simhash_bits == 32:
+        hash_fn = simhash32
+    elif simhash_bits == 64:
+        hash_fn = simhash64
+    else:
+        raise ValueError(f"simhash_bits must be 32 or 64, got {simhash_bits}")
+
+    @pandas_udf(CRAWL_FEATURES_SCHEMA)
+    def features_udf(
+        url: pd.Series, html: pd.Series, content_type: pd.Series
+    ) -> pd.DataFrame:
+        cols = (
+            "links", "text", "sitemap", "word_keys", "word_cnts",
+            "n_unique", "n_total", "max_count", "smhash",
+        )
+        out = {k: [] for k in cols}
+        for u, h, ct in zip(url, html, content_type):
+            ex = extract_page(u, h or b"", ct or "text/html")
+            out["links"].append(ex.links)
+            out["text"].append(ex.text)
+            out["sitemap"].append(ex.sitemap)
+            if ex.sitemap:
+                out["word_keys"].append([])
+                out["word_cnts"].append([])
+                out["n_unique"].append(0)
+                out["n_total"].append(0)
+                out["max_count"].append(0)
+                out["smhash"].append(0)
+            else:
+                toks = tokenize(ex.text)
+                words = word_count(toks)
+                out["word_keys"].append(list(words.keys()))
+                out["word_cnts"].append(list(words.values()))
+                out["n_unique"].append(len(words))
+                out["n_total"].append(len(toks))
+                out["max_count"].append(max(words.values()) if words else 0)
+                out["smhash"].append(hash_fn(words))
+        return pd.DataFrame(out)
+
+    return features_udf
+
+
+# module-level default: the reference-parity 32-bit plane
+crawl_features_udf = make_crawl_features_udf(32)
 
 
 def crawl_words_col(feat: Column) -> Column:

@@ -134,3 +134,35 @@ def test_vectorized_fast_path_matches_banded(spark, tmp_path):
         a, c = dict(v[h]), dict(b[h])
         a["words"], c["words"] = dict(a["words"] or {}), dict(c["words"] or {})
         assert a == c, c["url"]
+
+
+def test_64bit_production_plane(spark, tmp_path):
+    """simhash_bits=64 (production plane): identical pages still collapse
+    (equal word maps hash equal at any width), and the engine's state
+    machine is untouched — the dense family resolves exactly as at 32
+    bits. Distinct-content pages must NOT collide (the whole point: the
+    64-bit plane kills the 32-bit false-collision saturation)."""
+    out = str(tmp_path)
+    _write_dense_corpus(out)
+    eng = CrawlEngine(
+        spark,
+        f"{out}/pages.parquet",
+        f"{out}/robots.parquet",
+        [f"http://{HOST}/"],
+        CrawlConfig(whitelist=(".dense.test",), simhash_bits=64),
+    )
+    rows = eng.run().collect()
+    fam = [r for r in rows if "/near/" in r["url"]]
+    assert len(fam) == N_NEAR
+    ok = sorted(r["url"] for r in fam if r["finish"] == FINISH.OK)
+    assert ok == [f"http://{HOST}/near/0"]
+    assert sum(r["finish"] == FINISH.TOO_SIMILAR for r in fam) == N_NEAR - 1
+    # the hub (distinct random words) survives at 64 bits
+    hub = next(r for r in rows if r["url"] == f"http://{HOST}/")
+    assert hub["finish"] == FINISH.OK
+    # fingerprints really are 64-bit (some hash uses the high lanes)
+    assert any(
+        (r["smhash"] or 0) > 2**32 or (r["smhash"] or 0) < 0
+        for r in rows
+        if r["smhash"] is not None
+    )
