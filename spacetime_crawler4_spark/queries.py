@@ -683,12 +683,15 @@ ORDER BY query_id, rank
 
 def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVF with a TRAINED codebook (2 Lloyd iterations over
-    the corpus, distributed assign + per-dim mean; only the k×dim codebook
-    touches the driver) vs exact brute force. Iterative training is not
-    SQL-expressible — the driver records the sanctioned rows-only check;
-    tests/test_similarity.py asserts the Lloyd objective itself (mean
-    assignment cosine) improves monotonically, and measures this recall
-    (training optimizes quantization, not recall — both are reported)."""
+    the corpus, distributed assign + element-wise vector-sum means; only
+    the k×dim codebook touches the driver) vs exact brute force. The
+    Lloyd loop itself is iterative (not SQL), but its fold order is
+    ascending-vec_id and partition-independent, so the converged codebook
+    is bit-deterministic — frozen as resources/ivf_codebook_sf001.json and
+    inlined as SQL VALUES by the oracle, which then reproduces the entire
+    post-training recall query. tests/test_similarity.py re-trains and
+    asserts bit-equality with the frozen codebook (drift alarm) and that
+    the Lloyd objective (mean assignment cosine) improves monotonically."""
     emb = _t(spark, sf_dir, "embeddings")
     code = ivf_train(emb, k=8, iters=2, seed_ids=CENTROID_IDS)
     cdf = spark.createDataFrame(code, ["cell", "cvec"])
@@ -707,6 +710,51 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select(
         "query_id", "n_overlap", F.round(F.col("n_overlap") / 5.0, 4).alias("recall")
     ).orderBy("query_id")
+
+
+def _sql_trained_recall() -> str:
+    """Oracle for q_ann_ivf_trained_recall: the frozen bit-deterministic
+    codebook (resources/ivf_codebook_sf001.json — repr round-trips each
+    double exactly) as a VALUES table, then the same assign/probe/recall
+    pipeline as SQL_ANN_IVF + _sql_ann_recall."""
+    import json
+
+    payload = json.loads(
+        (
+            _res.files("spacetime_crawler4_spark") / "resources" / "ivf_codebook_sf001.json"
+        ).read_text()
+    )
+    values = ", ".join(
+        f"({c}, CAST([{', '.join(xs)}] AS DOUBLE[]))" for c, xs in payload["codebook"]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb(cell, cv) AS (VALUES {values}),
+scored AS (SELECT e.vec_id, e.v, cb.cell,
+                  {_duck_cos("e.v", "cb.cv")} AS ccos
+           FROM e CROSS JOIN cb),
+ranked AS (SELECT vec_id, v, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cell ASC) AS crn
+           FROM scored),
+assigned AS (SELECT vec_id, v, cell FROM ranked WHERE crn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM assigned
+      WHERE vec_id % {ANN_QUERY_MOD} = 0),
+s AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
+             {_duck_cos("qv", "a.v")} AS cos
+      FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM s),
+ivf AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+brute AS (SELECT query_id, neighbor_id FROM ({SQL_ANN_BRUTE}) b)
+SELECT b.query_id, count(i.neighbor_id) AS n_overlap,
+       round(count(i.neighbor_id) / 5.0, 4) AS recall
+FROM brute b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,7 +1312,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
         "ann_ivf_recall": (q_ann_ivf_recall, _sql_ann_recall()),
         "ann_ivf_probe2": (q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
-        "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, None),
+        "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, _sql_trained_recall()),
         "text_winnow": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_rabin_fingerprint": (q_text_rabin_fingerprint, SQL_TEXT_RABIN),
         "events_daily": (q_events_daily, SQL_EVENTS_DAILY),

@@ -67,6 +67,30 @@ def test_trained_recall_measured(recalls):
     assert 0 < recalls["trained"] <= 1
 
 
+def test_trained_codebook_matches_frozen_oracle_values(spark):
+    """The Lloyd fold is ascending-vec_id and partition-independent, so
+    retraining must reproduce resources/ivf_codebook_sf001.json BIT FOR
+    BIT — that file is inlined as SQL VALUES by the ann_ivf_trained_recall
+    oracle, so any drift here would silently break the driver gate."""
+    import json
+    from importlib import resources as _res
+
+    from spacetime_crawler4_spark.operators.similarity import ivf_train
+    from spacetime_crawler4_spark.queries import CENTROID_IDS
+
+    payload = json.loads(
+        (
+            _res.files("spacetime_crawler4_spark") / "resources" / "ivf_codebook_sf001.json"
+        ).read_text()
+    )
+    frozen = {c: [float(x) for x in xs] for c, xs in payload["codebook"]}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    live = ivf_train(
+        emb, k=payload["k"], iters=payload["iters"], seed_ids=tuple(payload["seed_ids"])
+    )
+    assert {c: v for c, v in live} == frozen
+
+
 def test_lloyd_training_improves_quantization(spark):
     """The actual Lloyd objective: mean assignment cosine to the nearest
     centroid must improve monotonically over iterations."""
