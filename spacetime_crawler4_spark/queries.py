@@ -786,11 +786,16 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b
 
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: char-8-gram hashes, min of each
-    4-wide sliding window — frame-spec window functions, no UDF."""
-    from spacetime_crawler4_spark.operators.textstats import winnow_fingerprints
+    4-wide sliding window. Production path: per-doc numpy rolling min in
+    one mapInPandas pass (no per-char explode/shuffle); the relational
+    frame-spec-window form (winnow_fingerprints) is kept as the oracle's
+    mirror and proven row-identical in tests."""
+    from spacetime_crawler4_spark.operators.textstats import (
+        winnow_fingerprints_vectorized,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, k=8, w=4).orderBy("doc_id")
+    return winnow_fingerprints_vectorized(docs, k=8, w=4).orderBy("doc_id")
 
 
 SQL_TEXT_WINNOW = """
@@ -814,11 +819,16 @@ FROM fp GROUP BY doc_id ORDER BY doc_id
 
 def q_text_rabin_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp–Rabin rolling-hash-family fingerprints per document (char
-    8-grams, Horner fold mod 2^31-1) — operators/textstats.rabin_fingerprints."""
-    from spacetime_crawler4_spark.operators.textstats import rabin_fingerprints
+    8-grams, Horner fold mod 2^31-1). Production path: k shifted numpy
+    ops per doc in one mapInPandas pass (no per-gram explode); the
+    relational form (rabin_fingerprints) mirrors the oracle and is proven
+    row-identical in tests."""
+    from spacetime_crawler4_spark.operators.textstats import (
+        rabin_fingerprints_vectorized,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return rabin_fingerprints(docs, k=8).orderBy("doc_id")
+    return rabin_fingerprints_vectorized(docs, k=8).orderBy("doc_id")
 
 
 SQL_TEXT_RABIN = """

@@ -1,0 +1,90 @@
+"""The mapInPandas winnow/rabin production paths must be row-identical to
+the relational (oracle-mirror) forms — including md5 hex strings, the
+full-window filter, and the short/empty-text edge cases the SQL semantics
+imply (docs with no full window / empty text are ABSENT from the output).
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    # lengths around every boundary: empty, < k, == k-1, == k, == k+w-2
+    # (no full window), == k+w-1 (exactly one), repeated text (memo path)
+    texts = [
+        "",
+        "ab",
+        "abcdefg",
+        "abcdefgh",
+        "abcdefghij",
+        "abcdefghijk",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaa",
+        "abcabcabcabcabcabc",
+        "MiXeD CaSe TeXt with UPPER and lower 0123456789",
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_winnow_vectorized_matches_relational_sf001(spark):
+    from spacetime_crawler4_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_vectorized,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rel = _rows(winnow_fingerprints(docs, k=8, w=4))
+    vec = _rows(winnow_fingerprints_vectorized(docs, k=8, w=4))
+    assert vec == rel
+    assert len(vec) > 0
+
+
+def test_winnow_vectorized_edge_cases(spark, edge_docs):
+    from spacetime_crawler4_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_vectorized,
+    )
+
+    rel = _rows(winnow_fingerprints(edge_docs, k=8, w=4))
+    vec = _rows(winnow_fingerprints_vectorized(edge_docs, k=8, w=4))
+    assert vec == rel
+    # docs shorter than k+w-1 chars have no full window and must be absent
+    present = {r[0] for r in vec}
+    assert 0 not in present and 1 not in present and 3 not in present
+    assert 5 in present
+
+
+def test_rabin_vectorized_matches_relational_sf001(spark):
+    from spacetime_crawler4_spark.operators.textstats import (
+        rabin_fingerprints,
+        rabin_fingerprints_vectorized,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rel = _rows(rabin_fingerprints(docs, k=8))
+    vec = _rows(rabin_fingerprints_vectorized(docs, k=8))
+    assert vec == rel
+    assert len(vec) > 0
+
+
+def test_rabin_vectorized_edge_cases(spark, edge_docs):
+    from spacetime_crawler4_spark.operators.textstats import (
+        rabin_fingerprints,
+        rabin_fingerprints_vectorized,
+    )
+
+    rel = _rows(rabin_fingerprints(edge_docs, k=8))
+    vec = _rows(rabin_fingerprints_vectorized(edge_docs, k=8))
+    assert vec == rel
+    # empty text absent; a short (< k) text yields exactly one window
+    ids = {r[0]: r for r in vec}
+    assert 0 not in ids
+    assert ids[1][1] == 1
