@@ -78,6 +78,26 @@ def subdomain_counts(frontier: DataFrame, suffix: str) -> DataFrame:
     )
 
 
+def depth_histogram(frontier: DataFrame, max_depth: int | None = None) -> DataFrame:
+    """Depth-counter histograms (reference scripts/depthcnt.sh: grep-count of
+    absdepth/reldepth/monodepth/dupdepth per value over the frontier nap
+    dump). One unpivot + one hash aggregate — (kind, depth) cardinality is
+    tiny (4 × max_absdepth), so the shuffle is a few hundred rows at any
+    corpus size."""
+    long = frontier.select(
+        F.stack(
+            F.lit(4),
+            F.lit("absdepth"), F.col("absdepth"),
+            F.lit("reldepth"), F.col("reldepth"),
+            F.lit("monodepth"), F.col("monodepth"),
+            F.lit("dupdepth"), F.col("dupdepth"),
+        ).alias("kind", "depth")
+    )
+    if max_depth is not None:
+        long = long.filter(F.col("depth") <= max_depth)
+    return long.groupBy("kind", "depth").count().orderBy("kind", "depth")
+
+
 def finish_tallies(frontier: DataFrame) -> DataFrame:
     """A5 (report.py:43-67): finish-code histogram."""
     return frontier.groupBy("status", "finish").count().orderBy("status", "finish")

@@ -163,6 +163,47 @@ SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_unique_docs,
 """
 
 
+def q_report_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth histogram (reference scripts/depthcnt.sh: per-value counts of
+    the frontier's depth counters; crawl/report.py:depth_histogram is the
+    real-frontier form, parity-tested vs the sequential oracle). Here the
+    same machinery runs over a deterministic URL tree derived from
+    documents: each doc's synthetic URL nests (n_chars % 6) directory
+    segments (its leading tokens) under its source host, and absdepth is
+    computed the way the crawl depth sift sees it — parse_url PATH +
+    slash count — not read off the modulus."""
+    docs = _t(spark, sf_dir, "documents")
+    nseg = (F.col("n_chars") % 6).cast("int")
+    segs = F.slice(F.split(F.col("text"), r"\s+"), F.lit(1), nseg)
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit("/"), F.concat_ws("/", segs)
+    )
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    absdepth = (
+        F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    ).cast("int")
+    return (
+        docs.select(absdepth.alias("absdepth"))
+        .groupBy("absdepth")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("absdepth")
+    )
+
+
+SQL_REPORT_DEPTH_HISTOGRAM = r"""
+WITH u AS (
+  -- duckdb: array_to_string([], sep) is NULL, not '' -> coalesce
+  SELECT '/' || coalesce(array_to_string(
+           list_slice(regexp_split_to_array(text, '\s+'), 1, n_chars % 6), '/'
+         ), '') AS path
+  FROM documents
+)
+SELECT CAST(length(path) - length(replace(path, '/', '')) AS INTEGER) AS absdepth,
+       count(*) AS n_urls
+FROM u GROUP BY 1 ORDER BY absdepth
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup plane (SURVEY.md §2.3 J4/J5 + training-data dedup suite)
 # --------------------------------------------------------------------------
@@ -1301,6 +1342,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "report_docs_per_source": (q_report_docs_per_source, SQL_REPORT_PER_SOURCE),
         "report_lang_tallies": (q_report_lang_tallies, SQL_REPORT_LANG),
         "report_corpus_totals": (q_report_corpus_totals, SQL_REPORT_TOTALS),
+        "report_depth_histogram": (q_report_depth_histogram, SQL_REPORT_DEPTH_HISTOGRAM),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_prefix_buckets": (q_dedup_prefix_buckets, SQL_DEDUP_PREFIX),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),

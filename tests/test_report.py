@@ -90,3 +90,24 @@ def test_totals_and_tallies_parity(crawled):
     }
     exp = Counter((n["status"], n["finish"]) for n in ostate.values())
     assert tallies == dict(exp)
+
+
+def test_depth_histogram_parity(crawled):
+    # reference scripts/depthcnt.sh: per-value counts of the four depth
+    # counters over the nap dump; both paths must agree counter-for-counter
+    frontier, ostate = crawled
+    got = {
+        (r["kind"], r["depth"]): r["count"]
+        for r in R.depth_histogram(frontier).collect()
+    }
+    exp = Counter()
+    for n in ostate.values():
+        for kind in ("absdepth", "reldepth", "monodepth", "dupdepth"):
+            exp[(kind, n[kind])] += 1
+    assert got == dict(exp)
+    # and the max_depth cut mirrors depthcnt.sh's <max_count> argument
+    cut = {
+        (r["kind"], r["depth"]): r["count"]
+        for r in R.depth_histogram(frontier, max_depth=1).collect()
+    }
+    assert cut == {k: v for k, v in exp.items() if k[1] <= 1}
