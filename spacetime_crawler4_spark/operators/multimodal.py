@@ -9,17 +9,21 @@ whole Arrow record batches.
 Two tiers of decode (round 2):
 
 - REAL codecs, pure struct+numpy: 24-bit BI_RGB **BMP** (pixel-data
-  offset, bottom-up rows, 4-byte row padding) and PCM16 **WAV** (RIFF
-  chunk walk, word alignment, little-endian samples) —
-  ``decode_bmp``/``decode_wav`` + the ``extract_media_features``
-  mapInPandas stage, validated by handcrafted-byte tests AND an
-  encode→decode roundtrip query whose DuckDB oracle recomputes the
-  features straight from the source bytes (queries.py).
+  offset, bottom-up rows, 4-byte row padding), PCM16 **WAV** (RIFF
+  chunk walk, word alignment, little-endian samples), and — round 3 —
+  baseline grayscale **JPEG** (``decode_jpeg_gray``: marker walk, DQT,
+  SOF0, canonical-Huffman DHT, MCU entropy scan with byte unstuffing,
+  DC differential + AC run-length, dezigzag, dequantize, float IDCT) +
+  the ``extract_media_features`` mapInPandas stage, validated by
+  handcrafted-byte tests AND encode→decode roundtrip queries whose
+  DuckDB oracles recompute the features straight from the source bytes
+  (queries.py).
 - STUB for formats whose codecs genuinely aren't in this sandbox
-  (jpeg/png/video): ``decode_image_stub`` derives deterministic fake
-  dimensions; everything around it — schema, batch iteration,
-  partitioning-safe signatures — is real, and swapping in Pillow/ffmpeg
-  is a one-function change.
+  (png/video — zlib-inflate and interframe codecs are out of scope):
+  ``decode_image_stub`` derives deterministic fake dimensions;
+  everything around it — schema, batch iteration, partitioning-safe
+  signatures — is real, and swapping in Pillow/ffmpeg is a one-function
+  change.
 """
 
 from __future__ import annotations
@@ -212,6 +216,325 @@ def decode_wav(payload: bytes) -> tuple[int, int, float]:
     return len(samples), int(rate), rms
 
 
+# ---------------------------------------------------------------------------
+# REAL codec #3 (round 3): baseline JFIF grayscale JPEG. The DECODER is a
+# genuine baseline subset — marker walk (APPn/COM skipped by length), DQT,
+# SOF0, DHT (canonical Huffman from BITS/HUFFVAL), SOS, entropy-coded MCU
+# scan with byte unstuffing, DC differential + AC run-length (ZRL/EOB),
+# dezigzag, dequantize, separable float IDCT, level shift, clip, edge crop.
+# The ENCODER emits analytically exact quantized coefficients (it never
+# runs a float DCT), so encode->decode expectations are integer-exact and
+# the roundtrip query's DuckDB oracle can recompute them from the source
+# bytes (VERDICT r2 next-round #9). Tables are the public JPEG Annex K
+# defaults.
+# ---------------------------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# JPEG Annex K.3 typical luminance Huffman tables: (BITS counts, HUFFVAL)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value -> (code, length). JPEG C.2 algorithm —
+    codes of length L are consecutive, doubling at each length step."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size category, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg_gray(coeff_blocks, width: int, height: int, qtable=None) -> bytes:
+    """Baseline JFIF grayscale JPEG from QUANTIZED coefficient blocks.
+
+    ``coeff_blocks``: array (n_blocks_y, n_blocks_x, 8, 8) of quantized DCT
+    coefficients in natural (row-major) order — the encoder entropy-codes
+    them exactly (zigzag, DC differential, AC run-length with ZRL + EOB),
+    never running a float DCT, so callers control the bitstream's
+    mathematical content precisely."""
+    import struct
+
+    import numpy as np
+
+    blocks = np.asarray(coeff_blocks, dtype=np.int32)
+    nby, nbx = blocks.shape[0], blocks.shape[1]
+    q = np.ones(64, dtype=np.int32) * 16 if qtable is None else np.asarray(
+        qtable, dtype=np.int32
+    ).reshape(64)
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += struct.pack(">2sH", b"\xFF\xDB", 2 + 1 + 64) + bytes([0])  # DQT, id 0
+    out += bytes(int(q[ZIGZAG[i]]) for i in range(64))
+    out += struct.pack(  # SOF0: 8-bit, 1 component, no subsampling
+        ">2sHBHHB", b"\xFF\xC0", 11, 8, height, width, 1
+    ) + bytes([1, 0x11, 0])
+    for cls, bits, vals in ((0, DC_LUM_BITS, DC_LUM_VALS), (1, AC_LUM_BITS, AC_LUM_VALS)):
+        out += struct.pack(">2sH", b"\xFF\xC4", 2 + 1 + 16 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    out += struct.pack(">2sHB", b"\xFF\xDA", 8, 1) + bytes([1, 0x00, 0, 63, 0])  # SOS
+
+    dc_huff = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_huff = _huff_codes(AC_LUM_BITS, AC_LUM_VALS)
+    w = _BitWriter()
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = blocks[by, bx].reshape(64)[ZIGZAG]
+            size, amp = _mag_bits(int(zz[0]) - pred)
+            pred = int(zz[0])
+            w.put(*dc_huff[size])
+            if size:
+                w.put(amp, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.put(*ac_huff[0xF0])  # ZRL: 16 zeros
+                    run -= 16
+                size, amp = _mag_bits(v)
+                w.put(*ac_huff[(run << 4) | size])
+                w.put(amp, size)
+                run = 0
+            if last_nz < 63:
+                w.put(*ac_huff[0x00])  # EOB
+    out += w.flush()
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:
+                    raise ValueError("marker inside entropy data")
+            self._acc, self._n = b, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """length -> {code: value} lookup for canonical JPEG Huffman tables."""
+    table: dict[int, dict[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table.setdefault(length, {})[code] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff(r: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        hit = table.get(length)
+        if hit is not None and code in hit:
+            return hit[code]
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map ``size`` amplitude bits to a signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _idct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)  # c[u, x]
+    c[0, :] *= 1 / np.sqrt(2)
+    return c * 0.5  # A[u, x]; pixels = A.T @ F @ A
+
+
+def decode_jpeg_gray(payload: bytes):
+    """(width, height, pixels uint8 [h, w]) from a baseline grayscale JPEG.
+
+    Real baseline decode: marker walk, DQT/DHT/SOF0/SOS parse, Huffman MCU
+    scan (DC differential + AC run-length), dezigzag, dequantize, float
+    IDCT, level shift + clip, crop of the 8-aligned padding."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, object] = {}
+    htabs: dict[tuple[int, int], object] = {}
+    width = height = None
+    comp_q = 0
+    dc_id = ac_id = 0
+    pos = 2
+    r = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (8-bit entries)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit qtable unsupported")
+                zz = np.frombuffer(body, np.uint8, 64, off + 1).astype(np.int32)
+                nat = np.zeros(64, np.int32)
+                nat[ZIGZAG] = zz  # stored in zigzag order
+                qtables[tq] = nat
+                off += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            height, width = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp != 1 or body[7] != 0x11:
+                raise ValueError("only single-component no-subsampling")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                htabs[(tc, th)] = _huff_decoder(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xDA:  # SOS
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            r = _BitReader(payload, pos + 2 + seglen)
+            break
+        # APPn / COM / DRI etc.: skipped by length (DRI>0 unsupported below)
+        pos += 2 + seglen
+    if r is None or width is None:
+        raise ValueError("missing SOS/SOF0")
+    q = qtables[comp_q]
+    dct, act = htabs[(0, dc_id)], htabs[(1, ac_id)]
+    nbx, nby = (width + 7) // 8, (height + 7) // 8
+    A = _idct_matrix()
+    img = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = np.zeros(64, np.int32)
+            size = _read_huff(r, dct)
+            pred += _extend(r.bits(size), size) if size else 0
+            zz[0] = pred
+            i = 1
+            while i < 64:
+                rs = _read_huff(r, act)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:
+                        i += 16  # ZRL
+                        continue
+                    break  # EOB
+                i += run
+                if i > 63:
+                    raise ValueError("AC index overflow")
+                zz[i] = _extend(r.bits(size), size)
+                i += 1
+            nat = np.zeros(64, np.int32)
+            nat[ZIGZAG] = zz
+            F_ = (nat.reshape(8, 8) * q.reshape(8, 8)).astype(np.float64)
+            px = A.T @ F_ @ A + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(px), 0, 255
+            ).astype(np.uint8)
+    return int(width), int(height), img[:height, :width]
+
+
 MEDIA_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -266,6 +589,13 @@ def extract_media_features(
                         n, rate, rms = decode_wav(p)
                         row.update(
                             kind="wav", n_samples=n, sample_rate=rate, rms=rms
+                        )
+                    elif p[:2] == b"\xFF\xD8":
+                        w_, h_, px = decode_jpeg_gray(p)
+                        m = float(px.astype("float64").mean()) if px.size else 0.0
+                        row.update(  # grayscale: one luma mean on all three
+                            kind="jpeg", width=w_, height=h_,
+                            mean_b=m, mean_g=m, mean_r=m,
                         )
                 except Exception:  # malformed/truncated container:
                     pass  # kind stays 'unknown' — decoders never throw

@@ -1330,6 +1330,64 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec end-to-end: per doc, 16 constant 8×8 blocks
+    whose levels come from the text's character codes are entropy-coded into
+    a 32×32 grayscale baseline JPEG (analytically exact coefficients:
+    constant block v → DC = (v-128)/2 at quant 16, AC = 0), then DECODED by
+    the full baseline pipeline — Huffman MCU scan, DC differential,
+    dezigzag, dequantize, IDCT — and the luma mean emitted. The oracle
+    recomputes the mean straight from the character codes, so any decode
+    bug (canonical-code build, EXTEND sign, zigzag map, IDCT scale) breaks
+    the value hash."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from spacetime_crawler4_spark.operators.multimodal import (
+        encode_jpeg_gray,
+        extract_media_features,
+    )
+
+    @pandas_udf(BinaryType())
+    def jpeg_payload(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            b = (t or "?").encode("utf-8")
+            # block value v = 2*(code%128) (even => exact DC quantization);
+            # decoded pixel = dequant(DC)/8 + 128 = v exactly
+            levels = np.array(
+                [b[j % len(b)] % 128 for j in range(16)], np.int32
+            ).reshape(4, 4)
+            blocks = np.zeros((4, 4, 8, 8), np.int32)
+            blocks[:, :, 0, 0] = levels - 64  # (2*level - 128) / 2
+            out.append(encode_jpeg_gray(blocks, 32, 32))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), jpeg_payload(F.col("text")).alias("payload")
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round("mean_g", 6).alias("mean_gray"),
+    ).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_JPEG = """
+WITH v AS (SELECT doc_id,
+                  [ascii(substr(text, CAST((j % length(text)) + 1 AS INTEGER), 1)) % 128
+                   for j in range(0, 16)] AS vs
+           FROM documents)
+SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       round(list_avg([2 * x for x in vs]), 6) AS mean_gray
+FROM v ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1380,4 +1438,5 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
         "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
+        "multimodal_jpeg_roundtrip": (q_multimodal_jpeg_roundtrip, SQL_MULTIMODAL_JPEG),
     }

@@ -138,3 +138,98 @@ def test_media_features_dispatch(spark):
     assert got[2]["kind"] == "wav" and got[2]["n_samples"] == 3
     assert got[3]["kind"] == "unknown"
     assert got[4]["kind"] == "unknown"  # truncated/malformed BMP recovers
+
+
+def test_jpeg_constant_blocks_exact():
+    """Constant 8x8 blocks at quant 16 with even levels decode to the
+    ORIGINAL pixel values exactly (DC-only algebra: pixel = q*DC/8 + 128)."""
+    import numpy as np
+
+    from spacetime_crawler4_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = (2 * (rng.randint(0, 256, size=(3, 5)) % 128)).astype(np.int32)
+    blocks = np.zeros((3, 5, 8, 8), np.int32)
+    blocks[:, :, 0, 0] = (vals - 128) // 2
+    w, h, px = decode_jpeg_gray(encode_jpeg_gray(blocks, 40, 24))
+    assert (w, h) == (40, 24)
+    assert np.array_equal(px, np.repeat(np.repeat(vals, 8, 0), 8, 1))
+
+
+def test_jpeg_general_coefficients_match_reference_idct():
+    """Arbitrary quantized coefficients (exercising AC run-length, ZRL,
+    EOB, negative amplitudes, a non-flat quant table) must decode to the
+    same pixels as an independent textbook IDCT of the same coefficients."""
+    import numpy as np
+
+    from spacetime_crawler4_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    co = rng.randint(-30, 31, size=(2, 3, 8, 8)).astype(np.int32)
+    co[0, 1, :, :] = 0  # all-zero block: DC size-0 + immediate EOB
+    co[1, 0, 7, 7] = 3  # block with no EOB (last zigzag index nonzero)
+    co[1, 2, :, :] = 0
+    co[1, 2, 7, 0] = -9  # long zero run -> ZRL path
+    q = np.arange(1, 65).reshape(8, 8)
+    w, h, px = decode_jpeg_gray(encode_jpeg_gray(co, 24, 16, qtable=q.reshape(64)))
+
+    # independent reference: direct IDCT-II double loop (no shared code)
+    def idct_ref(F_):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * F_[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = s / 4
+        return out
+
+    ref = np.empty((16, 24), np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            blk = idct_ref((co[by, bx] * q).astype(float)) + 128
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(blk), 0, 255
+            )
+    assert (w, h) == (24, 16)
+    assert np.array_equal(px, ref)
+
+
+def test_jpeg_crop_and_dispatch(spark):
+    """Non-multiple-of-8 dims crop the padded MCU grid; the mapInPandas
+    dispatch routes FFD8 payloads to the real decoder and truncated JPEG
+    bytes degrade to kind='unknown' without throwing."""
+    import numpy as np
+
+    from spacetime_crawler4_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        extract_media_features,
+    )
+
+    blocks = np.zeros((2, 2, 8, 8), np.int32)
+    blocks[:, :, 0, 0] = [[-10, 20], [30, -40]]
+    jpg = encode_jpeg_gray(blocks, 13, 11)
+    w, h, px = decode_jpeg_gray(jpg)
+    assert (w, h, px.shape) == (13, 11, (11, 13))
+
+    df = spark.createDataFrame(
+        [(1, jpg), (2, jpg[:30])], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r.asDict() for r in extract_media_features(df).collect()}
+    assert got[1]["kind"] == "jpeg" and (got[1]["width"], got[1]["height"]) == (13, 11)
+    assert abs(got[1]["mean_g"] - float(px.mean())) < 1e-9
+    assert got[2]["kind"] == "unknown"
