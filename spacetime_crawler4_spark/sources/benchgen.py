@@ -42,14 +42,20 @@ def write_bench_corpus(
     fanout: int = 25,
     leaves: int = 120,
     words_per_page: int = 150,
+    dup_frac: float = 0.0,
 ) -> dict:
+    """``dup_frac`` > 0 makes the corpus DENSE in near-duplicates: within
+    each section, that fraction of leaves reuses leaf 0's body with 1-2
+    word substitutions — a family of pages within a few simhash bits of
+    each other, so the within-wave LSH self-join and the dup-master
+    election have real work (the default corpus is all-distinct)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(SEED)
     urls, htmls, texts = [], [], []
 
-    def page(url: str, links: list[str], nwords: int) -> None:
-        body_words = rng.choices(_VOCAB, k=nwords)
-        body_words += body_words[:4]  # keep max word count >= 2
+    def page(url: str, links: list[str], nwords: int, body: list[str] | None = None) -> list[str]:
+        raw_words = list(body) if body is not None else rng.choices(_VOCAB, k=nwords)
+        body_words = raw_words + raw_words[:4]  # keep max word count >= 2
         text = " ".join(body_words)
         anchors = "".join(f'<a href="{l}">x{i}</a>' for i, l in enumerate(links))
         html = f"<html><head><title>{text.split()[0]}</title></head><body><p>{text}</p>{anchors}</body></html>"
@@ -58,6 +64,7 @@ def write_bench_corpus(
         # canonical extracted text: title fragment, body fragment, anchors
         frags = [text.split()[0], text] + [f"x{i}" for i in range(len(links))]
         texts.append("\n".join(frags))
+        return raw_words
 
     domains = [f"http://bench{i}.example-a.test" for i in range(n_domains)]
     for d in domains:
@@ -68,8 +75,19 @@ def write_bench_corpus(
                 [f"/s{j}/l{k}" for k in range(leaves)],
                 words_per_page,
             )
+            n_dup = int(leaves * dup_frac)
+            template: list[str] | None = None
             for k in range(leaves):
-                page(f"{d}/s{j}/l{k}", ["/"], words_per_page)
+                body = None
+                if template is not None and 1 <= k <= n_dup:
+                    # family member: 1-2 substitutions, never position 0
+                    # (the title fragment) so only a few simhash bits move
+                    body = list(template)
+                    for _ in range(1 + k % 2):
+                        body[rng.randrange(1, len(body))] = rng.choice(_VOCAB)
+                written = page(f"{d}/s{j}/l{k}", ["/"], words_per_page, body=body)
+                if k == 0 and n_dup:
+                    template = written
 
     n = len(urls)
     tbl = pa.table(
