@@ -1330,6 +1330,71 @@ FROM s ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# relevance ranking (operators/ranking.py — corpus slicing / boosted sampling)
+# --------------------------------------------------------------------------
+
+_RANK_TERMS = ("join", "filter", "merge")
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene-shape idf) of every document
+    against a fixed query bag; top-20. One (doc,term) tf shuffle; document
+    frequencies and corpus stats ride broadcasts — operators/ranking.py."""
+    from spacetime_crawler4_spark.operators.ranking import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, _RANK_TERMS)
+        .withColumn("bm25", F.round("bm25", 6))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_BM25 = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * (dl / avgdl)))), 6) AS bm25
+FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic tf-idf (ln-scaled tf, smoothed idf) over the same query
+    bag; top-20 — operators/ranking.py."""
+    from spacetime_crawler4_spark.operators.ranking import tfidf_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tfidf_scores(docs, _RANK_TERMS)
+        .withColumn("tfidf", F.round("tfidf", 6))
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_TFIDF = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum((1 + ln(tf)) * ln(n_docs / (1 + df))), 6) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+GROUP BY doc_id ORDER BY tfidf DESC, doc_id LIMIT 20
+"""
+
+
 def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG codec end-to-end: per doc, 16 constant 8×8 blocks
     whose levels come from the text's character codes are entropy-coded into
@@ -1423,6 +1488,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "ann_ivf_recall": (q_ann_ivf_recall, _sql_ann_recall()),
         "ann_ivf_probe2": (q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
         "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, _sql_trained_recall()),
+        "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
+        "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
         "text_winnow": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_rabin_fingerprint": (q_text_rabin_fingerprint, SQL_TEXT_RABIN),
         "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
