@@ -926,6 +926,116 @@ GROUP BY b.query_id ORDER BY b.query_id
 
 
 # --------------------------------------------------------------------------
+# product quantization (operators/pq.py — compressed ANN at corpus scale)
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_DSUB = 4, 16  # dim 64 -> 4 subspaces of 16
+_PQ_SEED_IDS = tuple(range(16))  # ksub=16 codewords (measured recall 2x ksub=8)
+
+
+def _pq_codebooks(spark: SparkSession, emb: DataFrame):
+    from spacetime_crawler4_spark.operators.pq import pq_codebooks_from_seeds
+
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(*_PQ_SEED_IDS)).collect()
+    }
+    return pq_codebooks_from_seeds([rows[v] for v in _PQ_SEED_IDS], _PQ_M)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-5 by squared L2: 64-dim vectors quantized to
+    4 codes (codewords = sub-slices of the 8 seed vectors), queries carry
+    their 4×8 distance LUT through a broadcast, neighbors contribute codes
+    only. Zero-shuffle encode (inline codebooks), one top-k window."""
+    from spacetime_crawler4_spark.operators.pq import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_codebooks(spark, emb)
+    return pq_adc_topk(emb, cbs, _queries_df(emb).select("vec_id"), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_PQ_SQL_COMMON = f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cids(j, cvid) AS (VALUES {", ".join(f"({j}, {v})" for j, v in enumerate(_PQ_SEED_IDS))}),
+ss(s) AS (SELECT unnest(range({_PQ_M}))),
+cw AS (SELECT j, s, list_slice(v, s * {_PQ_DSUB} + 1, (s + 1) * {_PQ_DSUB}) AS c
+       FROM cids JOIN e ON e.vec_id = cids.cvid CROSS JOIN ss),
+subs AS (SELECT vec_id, s, list_slice(v, s * {_PQ_DSUB} + 1, (s + 1) * {_PQ_DSUB}) AS x
+         FROM e CROSS JOIN ss),
+sd AS (SELECT vec_id, subs.s, j,
+              round(list_dot_product(x, x) - 2 * list_dot_product(x, c)
+                    + list_dot_product(c, c), 6) AS d
+       FROM subs JOIN cw ON cw.s = subs.s),
+codes AS (SELECT vec_id, s, j FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM sd)
+    WHERE rn = 1),
+q AS (SELECT vec_id AS query_id FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+adist AS (SELECT query_id, c.vec_id AS neighbor_id, round(sum(l.d), 6) AS adist
+          FROM codes c
+          JOIN q ON c.vec_id <> q.query_id
+          JOIN sd l ON l.vec_id = q.query_id AND l.s = c.s AND l.j = c.j
+          GROUP BY query_id, c.vec_id),
+pqr AS (SELECT query_id, neighbor_id, adist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+        FROM adist)
+"""
+
+SQL_ANN_PQ = f"""
+WITH {_PQ_SQL_COMMON}
+SELECT query_id, neighbor_id, adist, rank FROM pqr WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ/ADC against the exact squared-L2 brute force — the
+    measured accuracy cost of 64-float -> 4-code compression."""
+    from spacetime_crawler4_spark.operators.pq import l2_brute_topk, pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_codebooks(spark, emb)
+    brute = l2_brute_topk(emb, _queries_df(emb).select("vec_id"), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_adc_topk(emb, cbs, _queries_df(emb).select("vec_id"), k=5).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    hit = brute.join(
+        approx,
+        (brute.query_id == approx.query_id)
+        & (brute.neighbor_id == approx.a_neighbor),
+        "left",
+    ).groupBy(brute.query_id).agg(F.count(approx.a_neighbor).alias("n_overlap"))
+    return hit.select(
+        "query_id", "n_overlap", F.round(F.col("n_overlap") / 5.0, 4).alias("recall")
+    ).orderBy("query_id")
+
+
+SQL_ANN_PQ_RECALL = f"""
+WITH {_PQ_SQL_COMMON},
+bd AS (SELECT query_id, e2.vec_id AS neighbor_id,
+              round(list_dot_product(qv.v, qv.v) - 2 * list_dot_product(qv.v, e2.v)
+                    + list_dot_product(e2.v, e2.v), 6) AS dist
+       FROM (SELECT query_id, v FROM q JOIN e ON e.vec_id = q.query_id) qv
+       JOIN e e2 ON e2.vec_id <> qv.query_id),
+brute AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS rn FROM bd)
+    WHERE rn <= 5),
+pq5 AS (SELECT query_id, neighbor_id FROM pqr WHERE rank <= 5)
+SELECT b.query_id, count(p.neighbor_id) AS n_overlap,
+       round(count(p.neighbor_id) / 5.0, 4) AS recall
+FROM brute b LEFT JOIN pq5 p
+  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # events plane (windows / event-time)
 # --------------------------------------------------------------------------
 
@@ -1487,6 +1597,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
         "ann_ivf_recall": (q_ann_ivf_recall, _sql_ann_recall()),
         "ann_ivf_probe2": (q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
+        "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
+        "ann_pq_recall": (q_ann_pq_recall, SQL_ANN_PQ_RECALL),
         "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, _sql_trained_recall()),
         "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
         "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),

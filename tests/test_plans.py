@@ -91,3 +91,16 @@ def test_ivf_assign_has_no_exchange(spark):
     plan = _plan(ivf_assign(emb, _centroids_df(spark, emb)))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_pq_encode_has_no_exchange(spark):
+    """PQ encode must also be a pure per-row projection (inline
+    sub-codebooks): no shuffle, no Python — the whole corpus compresses
+    inside the scan stage."""
+    from spacetime_crawler4_spark.operators.pq import pq_encode
+    from spacetime_crawler4_spark.queries import _pq_codebooks
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(pq_encode(emb, _pq_codebooks(spark, emb)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -117,3 +117,44 @@ def test_lloyd_training_improves_quantization(spark):
     q2 = quality(spark.createDataFrame(code2, ["cell", "cvec"]))
     assert q1 > seed_q
     assert q2 >= q1
+
+
+def test_pq_codes_and_adc_sanity(spark):
+    """PQ invariants: a seed vector encodes to its own codeword index in
+    EVERY subspace (distance 0 to itself); ADC self-distance respects the
+    quantization bound; recall@5 vs exact L2 is strictly > random."""
+    from spacetime_crawler4_spark.operators.pq import (
+        l2_brute_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from spacetime_crawler4_spark.queries import (
+        _PQ_SEED_IDS,
+        _pq_codebooks,
+        _queries_df,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cbs = _pq_codebooks(spark, emb)
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb, cbs).filter(
+            F.col("vec_id").isin(*_PQ_SEED_IDS)
+        ).collect()
+    }
+    for j, vid in enumerate(_PQ_SEED_IDS):
+        assert codes[vid] == [j] * len(cbs), f"seed {vid} must self-encode to {j}"
+
+    q = _queries_df(emb).select("vec_id")
+    pq5 = pq_adc_topk(emb, cbs, q, k=5)
+    brute5 = l2_brute_topk(emb, q, k=5)
+    overlap = pq5.select("query_id", "neighbor_id").intersect(
+        brute5.select("query_id", "neighbor_id")
+    )
+    n_q = q.count()
+    recall = overlap.count() / (5.0 * n_q)
+    # Random uniform 64-dim embeddings are the worst case for coarse
+    # quantization (all pairs near-equidistant): measured recall@5 is
+    # ~0.16 at ksub=16 vs ~0.01 for random top-5 — assert a 2x margin
+    # below measured, still ~8x above chance.
+    assert recall > 0.08, f"PQ recall@5 {recall} suspiciously low"
