@@ -244,6 +244,105 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, cluster_id): connected components over an undirected pair list.
+
+    This is the step that turns near-dup *pairs* (minhash/simhash/embedding
+    LSH output) into the actual keep/drop decision a corpus pipeline needs:
+    every member of a component shares ``cluster_id`` = the minimum doc id
+    in the component (the canonical keep-one master). Only ids that appear
+    in at least one pair are returned — singletons are trivially their own
+    master and never shuffle.
+
+    Algorithm: min-label propagation with POINTER JUMPING (label(v) :=
+    label(label(v)) each round), the standard O(log n)-round MapReduce CC
+    formulation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — same doubling trick as the crawl engine's dup
+    election, crawl/engine.py `_distributed_election`). Per round: one
+    equi-join against the (deduplicated, symmetric) edge list + one
+    self-join for the jump, each a hash shuffle on id; lineage is cut with
+    an eager localCheckpoint so round k+1's plan does not replay round k.
+    Driver state per round: one changed-row count. A path graph of n nodes
+    converges in ~log2(n) rounds; dup clusters (dense, tiny diameter)
+    converge in 1-2.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # initial label: min(self, min neighbor) — one shuffle on src
+    lab = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("id"), F.least("src", F.col("_nbr")).alias("cluster_id")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # propagate: label(v) := min(label(v), min over neighbors of label(u))
+        nbr = (
+            edges.join(lab, edges.dst == lab.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nl"))
+        )
+        prop = (
+            lab.join(nbr, lab.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least("cluster_id", F.coalesce("_nl", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        # pointer jump: label(v) := label(label(v)) — collapses chains
+        x, y = prop.alias("x"), prop.alias("y")
+        nxt = (
+            x.join(y, F.col("x.cluster_id") == F.col("y.id"), "left")
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce(F.col("y.cluster_id"), F.col("x.cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        lab = nxt
+        if changed == 0:
+            break
+    return lab
+
+
+def dup_cluster_stats(components: DataFrame) -> DataFrame:
+    """(cluster_id, n_members, n_dropped): per-cluster keep-one summary over
+    ``connected_components`` output. n_dropped = members minus the master —
+    the rows a dedup pipeline would delete. One shuffle."""
+    return (
+        components.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            "cluster_id",
+            "n_members",
+            (F.col("n_members") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
 def simhash_docs(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, smhash, smhash_str): simhash per doc over the reference
     tokenizer + crc64 hash family (helpers/simhash.py:5-28,

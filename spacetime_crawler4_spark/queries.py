@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spacetime_crawler4_spark.operators.dedup import (
+    connected_components,
+    dup_cluster_stats,
     exact_dup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -313,6 +315,79 @@ SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
 WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
 ORDER BY id_a, id_b
+"""
+
+
+# shared CTE chain: minhash-LSH verified pairs (identical to
+# SQL_DEDUP_MINHASH) — reused by the connected-components oracles below,
+# which close over the pair graph with a recursive CTE.
+_SQL_MINHASH_PAIR_CTES = f"""
+toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    for i in range(1, len(ts) - 1)])) AS shingle
+       FROM toks),
+sig AS (SELECT id, band,
+               min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+        GROUP BY id, band),
+bands AS (SELECT id, CAST(band // 2 AS INTEGER) AS band_id,
+                 md5(string_agg(sig, '|' ORDER BY band)) AS bsig
+          FROM sig GROUP BY id, band // 2),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.id < b.id),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.id = c.id_a
+          JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+"""
+
+
+def q_dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash-LSH verified pairs closed into connected
+    components (pointer-jumping, O(log n) rounds) — each doc labeled with
+    its component's minimum id, i.e. the keep-one master a dedup pipeline
+    keeps. Oracle closes the identical pair graph with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5)
+    return connected_components(pairs).orderBy("id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES}
+SELECT id, cluster_id FROM comp ORDER BY id
+"""
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster keep-one summary over the minhash components:
+    (cluster_id, n_members, n_dropped) — n_dropped is exactly the rows a
+    keep-master dedup pass deletes from the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5)
+    return dup_cluster_stats(connected_components(pairs)).orderBy("cluster_id")
+
+
+SQL_DEDUP_CLUSTER_STATS = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES}
+SELECT cluster_id, count(*) AS n_members,
+       count(*) - 1 AS n_dropped
+FROM comp GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
@@ -1580,6 +1655,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "dedup_prefix_buckets": (q_dedup_prefix_buckets, SQL_DEDUP_PREFIX),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+        "dedup_dup_clusters": (q_dedup_dup_clusters, SQL_DEDUP_CLUSTERS),
+        "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
         "dedup_simhash_refparity": (q_dedup_simhash_refparity, _sql_simhash_refparity()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
         "dedup_simhash64_pairs": (q_dedup_simhash64_pairs, _sql_simhash64_pairs()),
