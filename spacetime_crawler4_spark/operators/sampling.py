@@ -1,0 +1,106 @@
+"""Deterministic sampling operators for training-corpus pipelines.
+
+Sampling at 100 TB must be two things the naive ``df.sample()`` is not:
+
+- **map-only** — a pure filter that composes with parquet column pruning
+  and never shuffles; and
+- **retry-deterministic** — ``rand()``-based Bernoulli re-rolls when a
+  task is re-executed after an executor loss (Spark recomputes lost
+  partitions from lineage), silently changing the sample between
+  attempts of the *same job*. Hashing a stable row key instead makes
+  every keep/drop decision a pure function of the data: task retries,
+  AQE re-plans, speculative duplicates, and whole re-runs all agree,
+  and a downstream engine (the DuckDB oracles here) can re-derive the
+  exact sample from the key alone.
+
+Hash family: the first 24 bits of ``md5(salt || key)`` → a bucket in
+[0, HASH_BUCKETS). md5 is computed identically by Spark's JVM built-in
+and DuckDB, so the oracle reproduces the sample bit-for-bit. The 2^24
+space maps onto 10^6 buckets with a wrap (16.77×), a ≤0.5% per-bucket
+density ripple — irrelevant for sampling, and exactly mirrored by the
+oracle. ``salt`` decorrelates independent samples drawn from the same
+key (a 10% sample and an 80/20 split must not be nested by accident).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, HASH_BUCKETS) from a row key.
+
+    Oracle-portable form: DuckDB computes the identical value as
+    ``CAST('0x' || substr(md5(salt || CAST(key AS VARCHAR)), 1, 6) AS
+    INTEGER) % 1000000``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 6), 16, 10
+    )
+    return F.pmod(h.cast("long"), F.lit(HASH_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``.
+
+    Map-only: one md5 + compare per row, no shuffle, column pruning
+    untouched. The same (key, salt) is kept or dropped identically on
+    every run at every scale — growing the corpus never flips the
+    decision for an existing row (the property incremental pipelines
+    rely on to keep yesterday's sample a subset of today's).
+    """
+    thr = int(round(rate * HASH_BUCKETS))
+    return df.filter(sample_bucket(F.col(key_col), salt) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the dataset-mixing primitive.
+
+    ``rates`` maps stratum value → keep probability (e.g. downsample the
+    head language, keep the tail at 1.0). The rate table rides along as a
+    literal map expression (broadcast by construction, never a join);
+    strata missing from ``rates`` fall back to ``default_rate``. Still
+    map-only: threshold lookup + one md5 per row.
+    """
+    thr_map = F.create_map(
+        *[
+            x
+            for s, r in sorted(rates.items())
+            for x in (F.lit(s), F.lit(int(round(r * HASH_BUCKETS))))
+        ]
+    )
+    thr = F.coalesce(
+        thr_map[F.col(stratum_col)],
+        F.lit(int(round(default_rate * HASH_BUCKETS))),
+    )
+    return df.filter(sample_bucket(F.col(key_col), salt) < thr)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_frac: float, salt: str = "split"
+) -> DataFrame:
+    """Adds a deterministic ``split`` column ('test' | 'train').
+
+    Keyed on the row key so the assignment is stable across runs and
+    engines — a document can never leak from train to test because a
+    cluster resize re-partitioned the data.
+    """
+    thr = int(round(test_frac * HASH_BUCKETS))
+    return df.withColumn(
+        "split",
+        F.when(sample_bucket(F.col(key_col), salt) < thr, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -37,6 +37,11 @@ from spacetime_crawler4_spark.operators.dedup import (
     word_shingles,
 )
 from spacetime_crawler4_spark.operators.multimodal import extract_media_meta
+from spacetime_crawler4_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
 from spacetime_crawler4_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -1639,6 +1644,103 @@ FROM v ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# deterministic sampling (operators/sampling.py — map-only, retry-stable)
+# --------------------------------------------------------------------------
+
+
+def q_sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of documents keyed on doc_id.
+
+    Map-only (no Exchange, plan-gated in tests/test_sampling.py): one md5 +
+    compare per row, so the filter composes with parquet column pruning and
+    survives task retries / AQE re-plans with the identical keep set. The
+    oracle recomputes the same md5 bucket in DuckDB — the sample is
+    engine-portable, not just run-stable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", 0.10, salt="s1")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER)
+      % 1000000 < 100000
+ORDER BY doc_id
+"""
+
+
+def q_sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample — the dataset-mixing primitive.
+
+    Downsamples the head language (en at 20%) while keeping tails whole
+    (zh/es at 100%), default 50% elsewhere. The rate table is a literal map
+    expression (broadcast by construction — never a join), so the whole
+    sample is still one map-only pass. Returns per-stratum realized counts.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.2, "zh": 1.0, "es": 1.0},
+        default_rate=0.5,
+        salt="mix",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER)
+      % 1000000
+      < CASE lang WHEN 'en' THEN 200000
+                  WHEN 'zh' THEN 1000000
+                  WHEN 'es' THEN 1000000
+                  ELSE 500000 END
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test assignment, tallied per source.
+
+    The split is a pure function of doc_id (salt 'split'), so growing the
+    corpus or resizing the cluster can never leak a document across the
+    boundary — the property eval-set hygiene depends on at 100 TB.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", 0.2)
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+SQL_SAMPLE_SPLIT = """
+SELECT CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 6)
+                 AS INTEGER) % 1000000 < 200000
+            THEN 'test' ELSE 'train' END AS split,
+       source, count(*) AS n_docs
+FROM documents
+GROUP BY split, source ORDER BY split, source
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1695,4 +1797,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
         "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
         "multimodal_jpeg_roundtrip": (q_multimodal_jpeg_roundtrip, SQL_MULTIMODAL_JPEG),
+        "sample_hash_10pct": (q_sample_hash_10pct, SQL_SAMPLE_HASH),
+        "sample_stratified_lang": (q_sample_stratified_lang, SQL_SAMPLE_STRATIFIED),
+        "sample_train_test_split": (q_sample_train_test_split, SQL_SAMPLE_SPLIT),
     }
