@@ -42,6 +42,11 @@ from spacetime_crawler4_spark.operators.sampling import (
     stratified_sample,
     train_test_split,
 )
+from spacetime_crawler4_spark.operators.webfilter import (
+    c4_clean_lines,
+    gopher_quality,
+    repetition_stats,
+)
 from spacetime_crawler4_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -1741,6 +1746,237 @@ GROUP BY split, source ORDER BY split, source
 
 
 # --------------------------------------------------------------------------
+# webtext quality filtering (operators/webfilter.py — Gopher/C4/repetition)
+# --------------------------------------------------------------------------
+#
+# The synthetic documents table is flat word soup (no newlines/punctuation),
+# so the line-level filters are exercised over a deterministic "paged" view
+# derived identically on both engines: the word array chunked into fixed-size
+# lines, terminal '.' on lines where (doc_id+i)%3 != 0, a ' javascript'
+# marker injected where (doc_id+i)%11 == 0. Pure array algebra — no regex
+# semantics in the derivation — so Spark and DuckDB agree byte-for-byte
+# (probed bit-identical at sf0.01 before the oracles below were written).
+
+
+def _paged_text(chunk: int, punct: bool, inject: bool):
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    n_chunks = F.ceil(F.size(ws) / F.lit(chunk)).cast("int")
+    doc_id = F.col("doc_id")
+
+    def line(i):
+        base = F.array_join(F.slice(ws, i * chunk + 1, chunk), " ")
+        if inject:
+            base = F.concat(
+                base,
+                F.when((doc_id + i) % 11 == 0, F.lit(" javascript")).otherwise(
+                    F.lit("")
+                ),
+            )
+        if punct:
+            base = F.concat(
+                base,
+                F.when((doc_id + i) % 3 == 0, F.lit("")).otherwise(F.lit(".")),
+            )
+        return base
+
+    lines = F.when(
+        F.size(ws) > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), line),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_join(lines, "\n")
+
+
+def _sql_paged(chunk: int, punct: bool, inject: bool) -> str:
+    js = (
+        "|| CASE WHEN (doc_id+i) % 11 = 0 THEN ' javascript' ELSE '' END"
+        if inject
+        else ""
+    )
+    dot = (
+        "|| CASE WHEN (doc_id+i) % 3 = 0 THEN '' ELSE '.' END" if punct else ""
+    )
+    return rf"""
+w AS (SELECT *, [x for x in regexp_split_to_array(text, '\s+') if x <> ''] AS ws
+      FROM documents),
+paged AS (SELECT *, array_to_string(
+   [array_to_string(ws[i*{chunk}+1 : i*{chunk}+{chunk}], ' ') {js} {dot}
+    for i in range(0, CAST(ceil(len(ws)/{chunk}.0) AS INTEGER))], chr(10)) AS ptext
+ FROM w)
+"""
+
+
+def q_webfilter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1) per document — the
+    features, the seven rule flags, and the keep verdict. Map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "frac_alpha_words",
+        "n_stop_hits",
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_stopwords",
+        "gopher_keep",
+    ).orderBy("doc_id")
+
+
+SQL_WEBFILTER_GOPHER = r"""
+WITH w AS (SELECT doc_id,
+                  [x for x in regexp_split_to_array(text, '\s+') if x <> ''] AS ws,
+                  text
+           FROM documents),
+f AS (SELECT doc_id,
+        len(ws) AS n_words,
+        CASE WHEN len(ws) > 0
+             THEN round(CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws), 6)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(ws) > 0
+             THEN round(CAST(len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) AS DOUBLE) / len(ws), 6)
+             ELSE 0.0 END AS frac_alpha_words,
+        len([s for s in ['the','be','to','of','and','that','have','with']
+             if list_contains([lower(x) for x in ws], s)]) AS n_stop_hits,
+        CASE WHEN len(ws) > 0
+             THEN round(CAST(len(regexp_extract_all(text, '#'))
+                             + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws), 6)
+             ELSE 0.0 END AS symbol_ratio,
+        CASE WHEN len(string_split(text, chr(10))) > 0
+             THEN round(CAST(len([l for l in string_split(text, chr(10))
+                                  if regexp_matches(ltrim(l), '^[-*•]')]) AS DOUBLE)
+                        / len(string_split(text, chr(10))), 6)
+             ELSE 0.0 END AS frac_bullet,
+        CASE WHEN len(string_split(text, chr(10))) > 0
+             THEN round(CAST(len([l for l in string_split(text, chr(10))
+                                  if regexp_matches(l, '\.\.\.$')]) AS DOUBLE)
+                        / len(string_split(text, chr(10))), 6)
+             ELSE 0.0 END AS frac_ellipsis
+      FROM w)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_word_len,
+       (n_stop_hits >= 2) AS flag_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND frac_bullet <= 0.9 AND frac_ellipsis <= 0.3
+        AND frac_alpha_words >= 0.8 AND n_stop_hits >= 2) AS gopher_keep
+FROM f ORDER BY doc_id
+"""
+
+
+def q_webfilter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleaning (Raffel et al. 2020 §2.2) over the paged view:
+    terminal-punctuation + ≥3-words + no-javascript line rules."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "ptext", _paged_text(8, punct=True, inject=True)
+    )
+    return (
+        c4_clean_lines(docs, "ptext")
+        .select("doc_id", "n_lines", "n_kept_lines", "clean_chars", "c4_keep")
+        .orderBy("doc_id")
+    )
+
+
+SQL_WEBFILTER_C4 = rf"""
+WITH {_sql_paged(8, punct=True, inject=True)},
+k AS (SELECT doc_id,
+        string_split(ptext, chr(10)) AS lines,
+        [l for l in string_split(ptext, chr(10))
+         if regexp_matches(rtrim(l), '[.!?"'']$')
+            AND len([x for x in regexp_split_to_array(l, '\s+') if x <> '']) >= 3
+            AND NOT contains(lower(l), 'javascript')] AS kept,
+        ptext
+      FROM paged)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+       coalesce(length(array_to_string(kept, chr(10))), 0) AS clean_chars,
+       (NOT contains(lower(ptext), 'lorem ipsum') AND NOT contains(ptext, '{{')) AS c4_keep
+FROM k ORDER BY doc_id
+"""
+
+
+def q_webfilter_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition counters (A1.2): duplicated-line char fraction over
+    a dup-rich 2-word paged view, top-bigram char coverage over raw text."""
+    docs = _t(spark, sf_dir, "documents")
+    paged = docs.withColumn("ptext", _paged_text(2, punct=False, inject=False))
+    rep = repetition_stats(
+        paged.select("doc_id", F.col("ptext").alias("text"))
+    )
+    return rep.orderBy("doc_id")
+
+
+SQL_WEBFILTER_REPETITION = rf"""
+WITH {_sql_paged(2, punct=False, inject=False)},
+lr AS (SELECT doc_id, unnest(string_split(ptext, chr(10))) AS line FROM paged),
+pl AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS chars
+       FROM lr WHERE line <> '' GROUP BY doc_id, line),
+dl AS (SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS dup_chars,
+         sum(cnt * chars) AS tot_chars
+       FROM pl GROUP BY doc_id),
+pw AS (SELECT doc_id,
+         [x for x in regexp_split_to_array(ptext, '\s+') if x <> ''] AS ws
+       FROM paged),
+bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+       FROM pw WHERE len(ws) >= 2),
+pg AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY doc_id, gram),
+tg AS (SELECT p.doc_id, max(p.cnt * length(p.gram)) AS top_bigram_chars
+       FROM pg p JOIN (SELECT doc_id, max(cnt) AS mc FROM pg GROUP BY doc_id) m
+         ON p.doc_id = m.doc_id AND p.cnt = m.mc
+       GROUP BY p.doc_id),
+wc AS (SELECT doc_id, coalesce(list_sum([length(x) for x in ws]), 0) AS word_chars
+       FROM pw)
+SELECT w.doc_id,
+       CASE WHEN d.tot_chars > 0
+            THEN round(CAST(coalesce(d.dup_chars, 0) AS DOUBLE) / d.tot_chars, 6)
+            ELSE 0.0 END AS frac_dup_line_chars,
+       CASE WHEN w.word_chars > 0
+            THEN round(CAST(coalesce(t.top_bigram_chars, 0) AS DOUBLE) / w.word_chars, 6)
+            ELSE 0.0 END AS frac_top_bigram_chars
+FROM wc w LEFT JOIN dl d ON w.doc_id = d.doc_id
+          LEFT JOIN tg t ON w.doc_id = t.doc_id
+ORDER BY w.doc_id
+"""
+
+
+def q_webfilter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level survival funnel through the Gopher and C4 gates —
+    the one-row summary a pipeline operator watches per ingest batch."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "ptext", _paged_text(8, punct=True, inject=True)
+    )
+    g = gopher_quality(docs).select("doc_id", "gopher_keep")
+    c = c4_clean_lines(docs, "ptext").select(
+        "doc_id", ((F.col("n_kept_lines") > 0) & F.col("c4_keep")).alias("c4_ok")
+    )
+    return g.join(c, "doc_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("gopher_keep").cast("long")).alias("n_gopher"),
+        F.sum(F.col("c4_ok").cast("long")).alias("n_c4"),
+        F.sum((F.col("gopher_keep") & F.col("c4_ok")).cast("long")).alias("n_both"),
+    )
+
+
+SQL_WEBFILTER_FUNNEL = rf"""
+WITH g AS (SELECT doc_id, gopher_keep FROM ({SQL_WEBFILTER_GOPHER}) s),
+{_sql_paged(8, punct=True, inject=True).lstrip()},
+c AS (SELECT doc_id,
+        (len([l for l in string_split(ptext, chr(10))
+              if regexp_matches(rtrim(l), '[.!?"'']$')
+                 AND len([x for x in regexp_split_to_array(l, '\s+') if x <> '']) >= 3
+                 AND NOT contains(lower(l), 'javascript')]) > 0
+         AND NOT contains(lower(ptext), 'lorem ipsum')
+         AND NOT contains(ptext, '{{')) AS c4_ok
+      FROM paged)
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+       CAST(sum(CASE WHEN c.c4_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+       CAST(sum(CASE WHEN g.gopher_keep AND c.c4_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+FROM g JOIN c ON g.doc_id = c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1800,4 +2036,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "sample_hash_10pct": (q_sample_hash_10pct, SQL_SAMPLE_HASH),
         "sample_stratified_lang": (q_sample_stratified_lang, SQL_SAMPLE_STRATIFIED),
         "sample_train_test_split": (q_sample_train_test_split, SQL_SAMPLE_SPLIT),
+        "webfilter_gopher": (q_webfilter_gopher, SQL_WEBFILTER_GOPHER),
+        "webfilter_c4": (q_webfilter_c4, SQL_WEBFILTER_C4),
+        "webfilter_repetition": (q_webfilter_repetition, SQL_WEBFILTER_REPETITION),
+        "webfilter_funnel": (q_webfilter_funnel, SQL_WEBFILTER_FUNNEL),
     }
