@@ -391,3 +391,115 @@ def embedding_near_pairs(
         )
         .filter(F.col("cos") >= min_cos)
     )
+
+
+# --------------------------------------------------------------------------
+# signed random projection (SRP / hyperplane LSH) — Charikar 2002
+# --------------------------------------------------------------------------
+
+SRP_SEED = 0x5EED
+SRP_LCG_MUL = 6364136223846793005
+SRP_LCG_ADD = 1442695040888963407
+
+
+def srp_planes(nbits: int = 16, dim: int = 64, seed: int = SRP_SEED):
+    """Deterministic Rademacher (+1/-1) hyperplanes from a 64-bit LCG.
+
+    Generated engine-side in plain Python (no RNG library variance) and
+    inlined as literals into BOTH the Spark expressions and the DuckDB
+    oracle SQL, so the signatures are engine-portable by construction.
+    sign(h.x) agreement probability for vectors at angle theta is
+    1 - theta/pi (Charikar 2002) — the property the recall audit measures.
+    """
+    s = seed & 0xFFFFFFFFFFFFFFFF
+    planes = []
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            s = (s * SRP_LCG_MUL + SRP_LCG_ADD) & 0xFFFFFFFFFFFFFFFF
+            row.append(1.0 if (s >> 63) else -1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(vec: Column, planes) -> Column:
+    """nbits-bit SRP signature: bit b = [dot(vec, plane_b) >= 0].
+
+    Map-only — nbits sequential-fold dot products per row, all inside one
+    WholeStageCodegen projection; no shuffle at any scale. The fold order
+    matches ``dot`` above (and DuckDB's list_dot_product), keeping the
+    sign decisions engine-identical.
+    """
+    sig = None
+    for b, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def srp_near_pairs(
+    emb: DataFrame,
+    planes,
+    band_bits: int,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-banded near-duplicate pairs with exact-cosine verification.
+
+    Standard LSH candidate topology (identical to the MinHash plane):
+    signature is a map-only projection, bands are pure bit-slices, the
+    ONLY shuffle is the (band_idx, band_val) equi-join, and the exact
+    cosine runs on candidates only. Banding is the recall knob — the
+    companion recall query measures it against the exact pair set.
+    Returns (id_a, id_b, hamming, cos) for verified pairs.
+    """
+    nbits = len(planes)
+    n_bands = nbits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        srp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    banded = sig.select(
+        "vid",
+        "v",
+        "sig",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_bands)])
+        ).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(sig, band_idx * {band_bits})").bitwiseAND(mask),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )

@@ -55,6 +55,8 @@ from spacetime_crawler4_spark.operators.similarity import (
     ivf_topk,
     ivf_topk_multiprobe,
     ivf_train,
+    srp_near_pairs,
+    srp_planes,
 )
 from spacetime_crawler4_spark.operators.textstats import (
     LANG_MARKERS,
@@ -1746,6 +1748,120 @@ GROUP BY split, source ORDER BY split, source
 
 
 # --------------------------------------------------------------------------
+# SRP / hyperplane LSH (operators/similarity.py — Charikar 2002)
+# --------------------------------------------------------------------------
+
+_SRP_PLANES = srp_planes(nbits=16, dim=64)
+_SRP_BAND_BITS = 4
+_SRP_MIN_COS = 0.35
+
+
+def _sql_srp_sig() -> str:
+    terms = []
+    for b, row in enumerate(_SRP_PLANES):
+        arr = "[" + ",".join(f"{v:.1f}" for v in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SQL_SRP_BASE = f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, ({_sql_srp_sig()}) AS sig FROM e),
+b AS (SELECT vec_id, v, sig, i AS band_idx,
+             (sig >> (i * {_SRP_BAND_BITS})) & {(1 << _SRP_BAND_BITS) - 1} AS band_val
+      FROM s, range({16 // _SRP_BAND_BITS}) t(i)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+                a.sig AS sa, b2.sig AS sb
+         FROM b a JOIN b b2
+           ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
+              AND a.vec_id < b2.vec_id),
+srp AS (SELECT id_a, id_b, hamming, cos FROM (
+          SELECT c.id_a, c.id_b,
+                 bit_count(xor(c.sa, c.sb)) AS hamming,
+                 {_duck_cos("ea.v", "eb.v")} AS cos
+          FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                      JOIN e eb ON eb.vec_id = c.id_b) x
+        WHERE cos >= {_SRP_MIN_COS})
+"""
+
+
+def q_dedup_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs: 16-bit SRP signatures (map-only),
+    4-bit band equi-join for candidates, exact cosine verify (>= 0.35).
+    Same LSH topology as the MinHash plane — the one shuffle is keyed on
+    (band_idx, band_val), so candidate volume, not corpus size, prices
+    the verify stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_near_pairs(
+        emb, _SRP_PLANES, _SRP_BAND_BITS, _SRP_MIN_COS
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_SRP = f"""
+WITH {_SQL_SRP_BASE}
+SELECT id_a, id_b, hamming, cos FROM srp ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured SRP recall vs the exact cosine pair set at three
+    similarity thresholds — banding catches tighter pairs with higher
+    probability (sign-agreement 1 - theta/pi per bit), and this query is
+    the committed evidence of that trade-off, like ann_ivf_recall is for
+    the IVF plane."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    exact = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.round(
+            cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        ).alias("cos")
+    ).filter(F.col("cos") >= _SRP_MIN_COS)
+    srp = srp_near_pairs(emb, _SRP_PLANES, _SRP_BAND_BITS, _SRP_MIN_COS)
+    thr = spark.createDataFrame(
+        [(0.35,), (0.40,), (0.45,)], "thr double"
+    )
+    n_exact = (
+        thr.join(exact, exact.cos >= thr.thr)
+        .groupBy("thr")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    n_srp = (
+        thr.join(srp, srp.cos >= thr.thr, "left")
+        .groupBy("thr")
+        .agg(F.count(srp.cos).alias("n_srp"))
+    )
+    return (
+        n_exact.join(n_srp, "thr")
+        .select(
+            "thr",
+            "n_exact",
+            "n_srp",
+            F.round(F.col("n_srp") / F.col("n_exact"), 4).alias("recall"),
+        )
+        .orderBy("thr")
+    )
+
+
+SQL_DEDUP_SRP_RECALL = f"""
+WITH {_SQL_SRP_BASE},
+exact AS (SELECT cos FROM (
+            SELECT {_duck_cos("a.v", "b.v")} AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id) x
+          WHERE cos >= {_SRP_MIN_COS}),
+t(thr) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (0.35), (0.40), (0.45)) v(x))
+SELECT t.thr,
+       (SELECT count(*) FROM exact x WHERE x.cos >= t.thr) AS n_exact,
+       (SELECT count(*) FROM srp p WHERE p.cos >= t.thr) AS n_srp,
+       round((SELECT count(*) FROM srp p WHERE p.cos >= t.thr) * 1.0
+             / (SELECT count(*) FROM exact x WHERE x.cos >= t.thr), 4) AS recall
+FROM t ORDER BY t.thr
+"""
+
+
+# --------------------------------------------------------------------------
 # webtext quality filtering (operators/webfilter.py — Gopher/C4/repetition)
 # --------------------------------------------------------------------------
 #
@@ -2040,4 +2156,6 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "webfilter_c4": (q_webfilter_c4, SQL_WEBFILTER_C4),
         "webfilter_repetition": (q_webfilter_repetition, SQL_WEBFILTER_REPETITION),
         "webfilter_funnel": (q_webfilter_funnel, SQL_WEBFILTER_FUNNEL),
+        "dedup_srp_pairs": (q_dedup_srp_pairs, SQL_DEDUP_SRP),
+        "dedup_srp_recall": (q_dedup_srp_recall, SQL_DEDUP_SRP_RECALL),
     }

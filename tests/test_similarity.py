@@ -158,3 +158,65 @@ def test_pq_codes_and_adc_sanity(spark):
     # ~0.16 at ksub=16 vs ~0.01 for random top-5 — assert a 2x margin
     # below measured, still ~8x above chance.
     assert recall > 0.08, f"PQ recall@5 {recall} suspiciously low"
+
+
+# -- SRP / hyperplane LSH ---------------------------------------------------
+
+
+def test_srp_planes_deterministic_rademacher():
+    from spacetime_crawler4_spark.operators.similarity import srp_planes
+
+    a, b = srp_planes(16, 64), srp_planes(16, 64)
+    assert a == b and len(a) == 16 and len(a[0]) == 64
+    assert {v for row in a for v in row} == {1.0, -1.0}
+    # not degenerate: both signs appear in every plane
+    assert all(1.0 in row and -1.0 in row for row in a)
+
+
+def test_srp_signature_sign_property(spark):
+    # identical vectors share the signature; a negated vector flips every
+    # bit (sign(h.x) = -sign(h.(-x)) whenever no dot is exactly 0)
+    from spacetime_crawler4_spark.operators.similarity import (
+        srp_planes,
+        srp_signature,
+    )
+
+    planes = srp_planes(16, 8)
+    v = [0.3, -1.2, 0.7, 2.1, -0.4, 0.9, -1.5, 0.2]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, [-x for x in v])], "id long, v array<double>"
+    )
+    sigs = {
+        r.id: r.sig
+        for r in df.select("id", srp_signature(F.col("v"), planes).alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] ^ sigs[3] == (1 << 16) - 1
+
+
+def test_srp_pairs_verified_and_symmetric_free(spark):
+    from spacetime_crawler4_spark.operators.similarity import (
+        srp_near_pairs,
+        srp_planes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pairs = srp_near_pairs(emb, srp_planes(16, 64), 4, 0.35).collect()
+    assert pairs, "banding should surface at least some verified pairs"
+    seen = set()
+    for r in pairs:
+        assert r.id_a < r.id_b and r.cos >= 0.35 and 0 <= r.hamming <= 16
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+
+
+def test_srp_signature_plan_is_map_only(spark):
+    from spacetime_crawler4_spark.operators.similarity import (
+        srp_planes,
+        srp_signature,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    df = emb.select("vec_id", srp_signature(F.col("embedding"), srp_planes(16, 64)).alias("sig"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
