@@ -47,6 +47,16 @@ from spacetime_crawler4_spark.operators.webfilter import (
     gopher_quality,
     repetition_stats,
 )
+from spacetime_crawler4_spark.operators.decontam import (
+    decontaminate,
+    incremental_dedup,
+)
+from spacetime_crawler4_spark.operators.pii import (
+    PII_PATTERNS,
+    inject_pii,
+    pii_report,
+)
+from spacetime_crawler4_spark.operators.quantize import int8_fidelity
 from spacetime_crawler4_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -2093,6 +2103,222 @@ FROM g JOIN c ON g.doc_id = c.doc_id
 
 
 # --------------------------------------------------------------------------
+# corpus hygiene: decontamination, incremental dedup, PII scrub, int8
+# (operators/decontam.py, operators/pii.py, operators/quantize.py)
+# --------------------------------------------------------------------------
+
+DECONTAM_N = 5
+DECONTAM_MIN_HITS = 2
+_BENCH_PRED = "doc_id % 10 = 7"  # deterministic eval-set stand-in
+
+
+def _duck_grams(n: int) -> str:
+    gram = " || ' ' || ".join([f"ts[i+{j}]" for j in range(n)])
+    return (
+        f"SELECT doc_id AS id, "
+        f"unnest(list_distinct([{gram} for i in range(1, len(ts) - {n - 2})])) AS shingle "
+        f"FROM toks"
+    )
+
+
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 2 distinct
+    word-5-grams with the held-out eval split (doc_id % 10 == 7 — the
+    deterministic benchmark stand-in). The benchmark gram dictionary is
+    broadcast; the corpus probe is map-side, one shuffle total (the
+    per-doc aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    corpus = docs.filter(~F.expr(_BENCH_PRED))
+    return (
+        decontaminate(
+            corpus, bench, "doc_id", "text",
+            n=DECONTAM_N, min_hits=DECONTAM_MIN_HITS,
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS ({_duck_grams(DECONTAM_N)}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE {_BENCH_PRED.replace('doc_id', 'id')}),
+corp AS (SELECT * FROM sh WHERE NOT ({_BENCH_PRED.replace('doc_id', 'id')}))
+SELECT id AS doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN shingle IN (SELECT shingle FROM bench) THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS hit_ratio,
+       sum(CASE WHEN shingle IN (SELECT shingle FROM bench) THEN 1 ELSE 0 END)
+         >= {DECONTAM_MIN_HITS} AS contaminated
+FROM corp GROUP BY id ORDER BY doc_id
+"""
+
+
+INCR_SPLIT_ID = 400  # doc_id < 400 = existing corpus, >= 400 = new batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission: dedupe the new batch (doc_id >= 400)
+    against the existing corpus (doc_id < 400) via MinHash-banded
+    candidates (batch x base only — the base never self-joins) with
+    exact-Jaccard verification; each batch doc gets keep/drop plus its
+    best verified base match for lineage."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < INCR_SPLIT_ID)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    return incremental_dedup(
+        base, batch, "doc_id", "text", n=3, k=8, r=2, min_jaccard=0.5
+    ).orderBy("batch_id")
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS ({_duck_grams(3)}),
+sig AS (SELECT id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+        GROUP BY id, band),
+bands AS (SELECT id, CAST(band // 2 AS INTEGER) AS band_id,
+                 md5(string_agg(sig, '|' ORDER BY band)) AS bsig
+          FROM sig GROUP BY id, band // 2),
+cand AS (SELECT DISTINCT q.id AS batch_id, c.id AS base_id
+         FROM bands q JOIN bands c
+           ON q.band_id = c.band_id AND q.bsig = c.bsig
+         WHERE q.id >= {INCR_SPLIT_ID} AND c.id < {INCR_SPLIT_ID}),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+verified AS (
+  SELECT v.batch_id, v.base_id, v.jaccard FROM (
+    SELECT i.batch_id, i.base_id,
+           round(i.inter / (sq.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM (SELECT c.batch_id, c.base_id, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.id = c.batch_id
+          JOIN sh b ON b.id = c.base_id AND b.shingle = a.shingle
+          GROUP BY 1, 2) i
+    JOIN sz sq ON sq.id = i.batch_id JOIN sz sb ON sb.id = i.base_id) v
+  WHERE v.jaccard >= 0.5),
+best AS (SELECT batch_id, base_id, jaccard FROM (
+           SELECT *, row_number() OVER (PARTITION BY batch_id
+                     ORDER BY jaccard DESC, base_id ASC) AS rn
+           FROM verified) WHERE rn = 1)
+SELECT d.doc_id AS batch_id, best.base_id AS dup_of, best.jaccard,
+       best.base_id IS NULL AS keep
+FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id
+WHERE d.doc_id >= {INCR_SPLIT_ID} ORDER BY batch_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact audit: deterministic synthetic PII (derived
+    from doc_id by inlined integer arithmetic, identically in the oracle)
+    is planted into each document, then the map-only scrub reports
+    per-category match counts and the md5 of the fully redacted text —
+    any detector or replacement-order divergence breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return pii_report(
+        inject_pii(docs, "doc_id", "text"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def _sql_pii() -> str:
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    redact = "text"
+    for _, pat, repl in PII_PATTERNS:
+        redact = f"regexp_replace({redact}, '{pat}', '{repl}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pats[name]}')) AS n_{name}"
+        for name in pats
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pats[name]}'))" for name in pats
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0 THEN
+                   ' +1-' || CAST(800 + doc_id % 200 AS VARCHAR)
+                   || '-555-' || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN
+                   ' 4' || lpad(CAST(doc_id AS VARCHAR), 15, '0')
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       {counts},
+       {total} AS n_pii,
+       md5({redact}) AS redacted_md5
+FROM injected ORDER BY doc_id
+"""
+
+
+def q_embed_int8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale, integer code
+    invariants (sum/min/max — exact), reconstruction MSE and
+    original-vs-dequantized cosine, all from one map-only pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        int8_fidelity(emb, "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMBED_INT8 = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e),
+c AS (SELECT vec_id, v, scale,
+             [CASE WHEN scale > 0 THEN
+                CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INTEGER)
+              ELSE 0 END for x in v] AS codes
+      FROM s),
+d AS (SELECT vec_id, v, scale, codes,
+             [CAST(cc AS DOUBLE) * scale for cc in codes] AS deq
+      FROM c)
+SELECT vec_id,
+       len(v) AS dim,
+       round(scale, 6) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       list_min(codes) AS code_min,
+       list_max(codes) AS code_max,
+       round(list_sum([(v[i] - deq[i]) * (v[i] - deq[i])
+                       for i in range(1, len(v) + 1)]) / len(v), 6) AS mse,
+       round(list_dot_product(v, deq)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq))),
+             6) AS cos_fid
+FROM d ORDER BY vec_id
+"""
+
+
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams by document frequency (docs containing the
+    gram — per-doc distinct shingles, the same one explode + two-phase
+    hash-aggregate + TakeOrderedAndProject shape as the top-50 words
+    report), ties broken lexicographically."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 2)
+    return (
+        sh.groupBy(F.col("shingle").alias("gram"))
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "gram")
+        .limit(20)
+    )
+
+
+SQL_TEXT_TOP_NGRAMS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS ({_duck_grams(2)})
+SELECT shingle AS gram, count(*) AS df
+FROM sh GROUP BY shingle ORDER BY df DESC, gram LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2158,4 +2384,9 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "webfilter_funnel": (q_webfilter_funnel, SQL_WEBFILTER_FUNNEL),
         "dedup_srp_pairs": (q_dedup_srp_pairs, SQL_DEDUP_SRP),
         "dedup_srp_recall": (q_dedup_srp_recall, SQL_DEDUP_SRP_RECALL),
+        "decontam_report": (q_decontam_report, SQL_DECONTAM),
+        "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+        "pii_scrub": (q_pii_scrub, _sql_pii()),
+        "embed_int8_fidelity": (q_embed_int8_fidelity, SQL_EMBED_INT8),
+        "text_top_ngrams": (q_text_top_ngrams, SQL_TEXT_TOP_NGRAMS),
     }
