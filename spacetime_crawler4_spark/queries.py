@@ -47,6 +47,7 @@ from spacetime_crawler4_spark.operators.webfilter import (
     gopher_quality,
     repetition_stats,
 )
+from spacetime_crawler4_spark.operators.asof import asof_join
 from spacetime_crawler4_spark.operators.decontam import (
     decontaminate,
     incremental_dedup,
@@ -2318,6 +2319,134 @@ FROM sh GROUP BY shingle ORDER BY df DESC, gram LIMIT 20
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: every click joined to the latest view
+    at-or-before it for the same user (union + ONE keyed window — one
+    shuffle, linear; never the quadratic join-then-argmax). Oracle is
+    DuckDB's native ASOF JOIN — an independent implementation of the
+    same semantics. gap_us is an exact integer microsecond difference."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, views, "user_id", "ts",
+        right_payload=["event_id", "ts", "value"], seq_col="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof.event_id").alias("view_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof.ts").cast("timestamp"))
+        ).alias("gap_us"),
+        F.col("asof.value").alias("view_value"),
+    ).orderBy("click_id")
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'view')
+SELECT l.click_id, l.user_id, r.event_id AS view_id,
+       date_diff('microsecond', r.ts, l.ts) AS gap_us,
+       r.value AS view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY click_id
+"""
+
+
+def q_pipeline_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end admission manifest — what actually ships
+    to training: per document, the Gopher quality verdict, the near-dup
+    keep/drop (minhash-LSH pairs closed into components, drop non-
+    masters), benchmark decontamination, eval-split exclusion, the final
+    ``admitted`` decision, and the deterministic train/test split. Each
+    stage is the already-oracle-checked operator; this query proves they
+    compose (the oracle chains the same CTE fragments)."""
+    docs = _t(spark, sf_dir, "documents")
+    gq = gopher_quality(docs).select("doc_id", "gopher_keep")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    cc = connected_components(
+        minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5)
+    ).withColumnRenamed("id", "doc_id")
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    corpus = docs.filter(~F.expr(_BENCH_PRED))
+    cont = (
+        decontaminate(
+            corpus, bench, "doc_id", "text",
+            n=DECONTAM_N, min_hits=DECONTAM_MIN_HITS,
+        )
+        .select(F.col("id").alias("doc_id"), "contaminated")
+    )
+    spl = train_test_split(docs.select("doc_id"), "doc_id", 0.2)
+    dup_drop = F.col("cluster_id").isNotNull() & (
+        F.col("cluster_id") != F.col("doc_id")
+    )
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    is_bench = F.expr(_BENCH_PRED)
+    return (
+        docs.select("doc_id")
+        .join(gq, "doc_id")
+        .join(cc, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(spl, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            dup_drop.alias("dup_drop"),
+            contaminated.alias("contaminated"),
+            is_bench.alias("is_bench"),
+            (
+                F.col("gopher_keep")
+                & ~dup_drop
+                & ~contaminated
+                & ~is_bench
+            ).alias("admitted"),
+            "split",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pipeline_admission() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+g AS (SELECT doc_id, gopher_keep FROM ({SQL_WEBFILTER_GOPHER}) s),
+sh5 AS ({_duck_grams(DECONTAM_N)}),
+bench5 AS (SELECT DISTINCT shingle FROM sh5 WHERE id % 10 = 7),
+cont AS (SELECT id AS doc_id,
+                sum(CASE WHEN shingle IN (SELECT shingle FROM bench5)
+                    THEN 1 ELSE 0 END) >= {DECONTAM_MIN_HITS} AS contaminated
+         FROM sh5 WHERE NOT (id % 10 = 7) GROUP BY id),
+spl AS (SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 6)
+                         AS INTEGER) % 1000000 < 200000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+SELECT d.doc_id, g.gopher_keep,
+       (c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id) AS dup_drop,
+       coalesce(cont.contaminated, FALSE) AS contaminated,
+       (d.doc_id % 10 = 7) AS is_bench,
+       (g.gopher_keep
+        AND NOT (c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id)
+        AND NOT coalesce(cont.contaminated, FALSE)
+        AND NOT (d.doc_id % 10 = 7)) AS admitted,
+       spl.split
+FROM documents d
+JOIN g ON g.doc_id = d.doc_id
+LEFT JOIN comp c ON c.id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
+JOIN spl ON spl.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2389,4 +2518,6 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "pii_scrub": (q_pii_scrub, _sql_pii()),
         "embed_int8_fidelity": (q_embed_int8_fidelity, SQL_EMBED_INT8),
         "text_top_ngrams": (q_text_top_ngrams, SQL_TEXT_TOP_NGRAMS),
+        "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+        "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
     }
