@@ -66,6 +66,9 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_probe2",
     "events_sessionize",
+    "events_asof",
+    "decontam_report",
+    "pipeline_admission",
     "tpch_pricing",
     "tpch_top_customers",
 ]
