@@ -74,11 +74,11 @@ HEADLINE = [
 ]
 
 
-def _mk_spark(cores: int):
+def _mk_spark(cores: int, files_pb: str = "4m"):
     from spacetime_crawler4_spark.session import get_spark
 
     spark = get_spark(
-        f"bench-{cores}",
+        f"bench-{cores}-{files_pb}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
         extra_conf={
@@ -88,9 +88,12 @@ def _mk_spark(cores: int):
             # smaller Arrow batches: better cache locality for the
             # map-heavy UDF outputs (measured ~12% on the scale kernel)
             "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
-            # split scans finely: the kernels are CPU-bound in Arrow UDFs,
-            # so partition count should track cores, not 128MB chunks
-            "spark.sql.files.maxPartitionBytes": "4m",
+            # files_pb: the CPU-bound crawl/kernel sections want finely
+            # split scans ("4m" — partition count tracks cores); the
+            # scan-heavy analytics queries want Spark's default 128m
+            # chunking (measured 12x on report_top50_words: 0.6s at 128m
+            # vs 7.5s at 4m — tiny-task overhead dominates a plain scan)
+            "spark.sql.files.maxPartitionBytes": files_pb,
         },
     )
     # FATAL, not ERROR: stopping/starting local sessions in one JVM churns
@@ -154,6 +157,13 @@ def _kernel_job(spark) -> int:
 
 def run_queries(spark) -> dict[str, float]:
     from spacetime_crawler4_spark.queries import registry
+
+    # input-free JVM warmup (codegen, whole-stage compiler, shuffle
+    # machinery) so the first measured query isn't charged session boot;
+    # deliberately touches NO input table — page-cache state is unchanged
+    spark.range(20_000_000).selectExpr(
+        "sum(id)", "count(distinct id % 97)"
+    ).collect()
 
     reg = registry()
     out = {}
@@ -413,7 +423,12 @@ def main() -> None:
 
     spark = _mk_spark(min(CPUS, 16))  # >16 workers regresses on this host
     try:
+        # scan-heavy analytics want default 128m chunking; the CPU-bound
+        # crawl sections below reset to the fine 4m split (runtime-mutable
+        # SQL conf — same JVM, no warmup loss between sections)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
         queries = run_queries(spark)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
         crawl = run_crawl(spark)
         near_dup = run_neardup_paths(spark)
         seen = run_seen_filters(spark)
