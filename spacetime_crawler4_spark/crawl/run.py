@@ -43,6 +43,15 @@ def main(argv: list[str] | None = None) -> dict:
         help="print the first N frontier rows (reference print_nap.py analogue)",
     )
     ap.add_argument(
+        "--at-wave",
+        default=None,
+        metavar="W",
+        type=int,
+        help="time-travel: report/dump the state as of snapshot wave W "
+        "(Iceberg VERSION AS OF) instead of crawling — requires --state; "
+        "only waves still in the retained base+delta chain are readable",
+    )
+    ap.add_argument(
         "--step",
         action="store_true",
         help="manual step mode (reference launchman.py / crawlerman): run "
@@ -59,6 +68,36 @@ def main(argv: list[str] | None = None) -> dict:
     whitelist = tuple(s for s in args.whitelist.split(",") if s) or None
 
     spark = get_spark("crawl", master=args.master)
+
+    if args.at_wave is not None:
+        if not args.state:
+            ap.error("--at-wave requires --state")
+        from spacetime_crawler4_spark.crawl.store import SnapshotStore
+
+        store = SnapshotStore(args.state)
+        try:
+            wave, tables, metrics = store.load_at(spark, args.at_wave)
+        except KeyError as e:
+            retained = [(s["wave"], s["kind"]) for s in store.snapshots()]
+            print(json.dumps({"error": str(e), "retained": retained}))
+            return {"error": str(e)}
+        frontier = tables["frontier"]
+        out = {"wave": wave, "frontier_urls": frontier.count()}
+        if args.report:
+            from spacetime_crawler4_spark.crawl import report as R
+
+            out["totals"] = R.totals(frontier).collect()[0].asDict()
+            out["top_words"] = [
+                (r["word"], r["total"])
+                for r in R.top_words(frontier, 10).collect()
+            ]
+        if args.dump:
+            frontier.orderBy("gen", "seq").drop("words").show(
+                args.dump, truncate=60
+            )
+        print(json.dumps(out))
+        return out
+
     cfg = CrawlConfig(
         whitelist=whitelist,
         wave_seconds=args.wave_seconds,

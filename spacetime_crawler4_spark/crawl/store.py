@@ -154,6 +154,46 @@ class SnapshotStore:
         self._swap_manifest(m)
 
     # --------------------------------------------------------------- reads
+    @staticmethod
+    def _wave_of(dirname: str) -> int:
+        return int(dirname.rsplit("-", 1)[1])
+
+    def snapshots(self) -> list[dict]:
+        """The retained commit history (Iceberg: the snapshot log after
+        expiration): one entry per readable commit, oldest first."""
+        m = self._manifest()
+        if m is None:
+            return []
+        out = [{"wave": self._wave_of(m["base"]), "dir": m["base"], "kind": "base"}]
+        out += [
+            {"wave": self._wave_of(d), "dir": d, "kind": "delta"}
+            for d in m.get("deltas", [])
+        ]
+        return out
+
+    def load_at(
+        self, spark: SparkSession, wave: int
+    ) -> tuple[int, dict[str, DataFrame], list[dict]]:
+        """Time-travel read (Iceberg ``VERSION AS OF``): the state as of
+        commit ``wave`` — the base plus every delta up to and including
+        it. Only waves still inside the retained base+delta chain are
+        readable; anything older was expired by compaction (``_prune``),
+        exactly like an expired Iceberg snapshot. Raises ``KeyError``
+        for an expired or future wave."""
+        m = self._manifest()
+        if m is None:
+            raise KeyError("no snapshots committed")
+        base_wave = self._wave_of(m["base"])
+        if wave < base_wave or wave > m["wave"]:
+            raise KeyError(
+                f"wave {wave} not in the retained chain "
+                f"[{base_wave}, {m['wave']}] (expired or future)"
+            )
+        chain = [m["base"]] + [
+            d for d in m.get("deltas", []) if self._wave_of(d) <= wave
+        ]
+        return self._load_chain(spark, chain, self._wave_of(chain[-1]))
+
     def load_latest(
         self, spark: SparkSession
     ) -> tuple[int, dict[str, DataFrame], list[dict]] | None:
@@ -161,7 +201,11 @@ class SnapshotStore:
         if m is None:
             return None
         chain = [m["base"], *m.get("deltas", [])]
+        return self._load_chain(spark, chain, m["wave"])
 
+    def _load_chain(
+        self, spark: SparkSession, chain: list[str], wave: int
+    ) -> tuple[int, dict[str, DataFrame], list[dict]]:
         def _read(name: str) -> DataFrame:
             parts = []
             for seq, d in enumerate(chain):
@@ -188,4 +232,4 @@ class SnapshotStore:
             tables[name] = _read(name).drop("_cseq")
         with open(os.path.join(self.root, chain[-1], "metrics.json")) as f:
             metrics = json.load(f)
-        return m["wave"], tables, metrics
+        return wave, tables, metrics
