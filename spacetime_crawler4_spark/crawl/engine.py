@@ -256,8 +256,19 @@ class CrawlEngine:
             rn2 = F.row_number().over(
                 Window.partitionBy("domain").orderBy("gen", "seq")
             )
+            # the explicit repartition is load-bearing: with two stacked
+            # windows Catalyst satisfies BOTH from one
+            # hashpartitioning(domain) exchange (clustering by domain is a
+            # valid clustering for (domain, _salt) too), which silently
+            # puts every mega-host row back into ONE window task —
+            # exactly the skew this exists to break. Forcing the phase-1
+            # exchange onto (domain, _salt) keeps the heavy sort/rank
+            # split SALTS ways; phase 2 then shuffles only the
+            # <= SALTS x budget survivors per domain (tests/test_skew.py
+            # pins both the plan shape and selection equality).
             p = (
                 p.withColumn("_salt", salt)
+                .repartition(F.col("domain"), F.col("_salt"))
                 .withColumn("_rn1", rn1)
                 .filter(F.col("_rn1") <= budget)
                 .withColumn("_rn2", rn2)
