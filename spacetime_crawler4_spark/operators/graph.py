@@ -1,0 +1,83 @@
+"""Iterative graph analytics: PageRank over an edge list.
+
+The crawl-prioritization primitive (authority-rank hosts to order the
+frontier; PageRank, Brin & Page 1998) expressed Spark-first: a fixed
+number of power iterations, each ONE join + ONE aggregate over the edge
+list, with the standard uniform redistribution of dangling mass.
+
+Scale shape (what survives 10^10 edges): the edge list is the only big
+table and it is shuffled ONCE per iteration on its join key — out-degrees
+are precomputed and folded into a per-edge weight so the iteration join
+carries a single double per edge; the rank vector (one row per node) is
+the small side; the dangling mass is a 1-row aggregate broadcast back.
+No driver-side state, no collect, k iterations = k shuffles. At cluster
+scale you would additionally pre-partition/bucket the weighted edges on
+``src`` once so every iteration reuses the same exchange.
+
+Determinism/oracle: fixed iteration count, doubles end-to-end, ranks
+rounded at the *output* only. The DuckDB oracle is the same recurrence
+unrolled as k chained CTEs (queries.py generates them from the same
+constants), so every iteration's arithmetic is mirrored 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, rank) after ``iterations`` synchronous power iterations.
+
+    ``edges`` is a directed edge list; parallel duplicates should be
+    deduped by the caller if unwanted. Nodes = all ids appearing as
+    src or dst. r_0 = 1/N; each step
+    r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+    where dangling = sum of r over nodes with no out-edges.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # weighted edges: 1/outdeg folded in once, reused every iteration
+    we = e.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    n = nodes.count()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
+    has_out = outdeg.select(F.col("src").alias("id")).distinct()
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "id", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            we.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("r")).alias("acc"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("acc"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select("id", F.col("r").alias("rank"))

@@ -57,6 +57,7 @@ from spacetime_crawler4_spark.operators.pii import (
     inject_pii,
     pii_report,
 )
+from spacetime_crawler4_spark.operators.graph import pagerank
 from spacetime_crawler4_spark.operators.quantize import int8_fidelity
 from spacetime_crawler4_spark.operators.similarity import (
     brute_force_topk,
@@ -2448,6 +2449,105 @@ ORDER BY d.doc_id
 
 
 # --------------------------------------------------------------------------
+# graph analytics: PageRank (operators/graph.py) over the supplier/customer
+# trade graph; exact length quantiles per source
+# --------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+PR_BACKEDGE_MIN_PRICE = 450_000.0  # only big buyers link back -> real
+# dangling mass (customers with no big order have no out-edges)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 synchronous power iterations, d=0.85, uniform dangling
+    redistribution) over the trade graph: supplier -> customer for every
+    supply relationship, customer -> supplier only for orders above
+    450k (so a third of the customers genuinely dangle and the dangling
+    path is exercised). One shuffle per iteration on the weighted edge
+    list; the rank vector and dangling mass are the small/broadcast
+    sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pairs = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        "o_totalprice",
+    )
+    fwd = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).distinct()
+    back = (
+        pairs.filter(F.col("o_totalprice") > PR_BACKEDGE_MIN_PRICE)
+        .select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(
+        fwd.unionByName(back), iterations=PR_ITERS, damping=PR_DAMPING
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+def _sql_pagerank() -> str:
+    d, n = PR_DAMPING, "(SELECT count(*) FROM nodes)"
+    ctes = [
+        f"""pairs AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+              'c' || CAST(o_custkey AS VARCHAR) AS c, o_totalprice
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT DISTINCT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT DISTINCT c AS src, s AS dst FROM pairs
+      WHERE o_totalprice > {PR_BACKEDGE_MIN_PRICE}),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+we AS (SELECT src, dst, 1.0 / od AS w FROM e JOIN outdeg USING (src)),
+r0 AS (SELECT id, 1.0 / {n} AS r FROM nodes)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nn.id,
+         (1.0 - {d}) / {n}
+         + {d} * (coalesce(cb.acc, 0.0)
+                  + (SELECT coalesce(sum(r), 0.0) FROM {p}
+                     WHERE id NOT IN (SELECT src FROM outdeg)) / {n}) AS r
+  FROM nodes nn LEFT JOIN
+       (SELECT dst AS id, sum(w * r) AS acc
+        FROM we JOIN {p} ON {p}.id = we.src GROUP BY dst) cb
+  USING (id))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(r, 6) AS rank FROM r{PR_ITERS} ORDER BY id"
+    )
+
+
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length distribution: n_docs, median and p90 of
+    n_chars (exact linear-interpolation percentiles — Spark `percentile`
+    and DuckDB `quantile_cont` implement the identical definition; both
+    engines see the same integer inputs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_LENGTH_QUANTILES = """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2520,4 +2620,6 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_top_ngrams": (q_text_top_ngrams, SQL_TEXT_TOP_NGRAMS),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
+        "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),
+        "text_length_quantiles": (q_text_length_quantiles, SQL_TEXT_LENGTH_QUANTILES),
     }

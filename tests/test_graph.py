@@ -1,0 +1,54 @@
+"""PageRank: differential vs a pure-python power iteration, invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacetime_crawler4_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, iters=5, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        acc = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            acc[t] += r[s] / out[s]
+        r = {
+            v: (1.0 - d) / n + d * (acc[v] + dang / n) for v in nodes
+        }
+    return r
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("e", "a"), ("e", "c"),
+    # f is dangling (appears only as a destination)
+    ("a", "f"), ("b", "f"),
+]
+
+
+def test_pagerank_matches_pure_python(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.id: r.rank for r in pagerank(df, iterations=5).collect()}
+    want = _py_pagerank(EDGES)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_pagerank_mass_conserved_and_dangling_flows(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    rows = pagerank(df, iterations=8).collect()
+    total = sum(r.rank for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    ranks = {r.id: r.rank for r in rows}
+    # ranking order matches the reference implementation; the dangling
+    # node keeps a nonzero rank strictly above the never-linked floor
+    want = _py_pagerank(EDGES, iters=8)
+    assert sorted(ranks, key=ranks.get) == sorted(want, key=want.get)
+    assert ranks["f"] > (1 - 0.85) / len(ranks)
