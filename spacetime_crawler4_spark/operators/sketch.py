@@ -1,0 +1,121 @@
+"""Engine-portable HyperLogLog distinct-count sketch.
+
+``approx_count_distinct`` exists in both Spark and DuckDB, but their
+internal hashes differ, so the estimates can't be cross-checked. This
+HLL builds the sketch from first principles with a PORTABLE hash
+(md5, like the MinHash/sampling planes), so Spark and the DuckDB oracle
+produce the bit-identical register file and therefore the bit-identical
+estimate — the sketch itself becomes oracle-checkable, not just "close".
+
+Shape (Flajolet et al. 2007): bucket = first ``b`` hex digits of
+md5(key) (p = 16^... — we use b hex chars = 4b bits, m = 2^(4b)
+registers); rho = 1 + leading zero bits of the next 12 hex chars.
+The register build is ONE hash-shuffle with map-side partial max —
+the same cost as a count(distinct) partial — and the estimate is a
+1-row fold over m registers. At 100 TB this is the cardinality
+primitive for per-partition stats without a global distinct shuffle:
+registers merge by max, so per-partition sketches union for free.
+
+Bias handling: the standard alpha_m correction plus linear counting
+below the 2.5m threshold (both engines compute the identical branches;
+the registry query reports estimate AND exact side by side with the
+measured relative error).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_HEX_CHARS = 2  # m = 256 registers (±6.5% standard error)
+HLL_RHO_HEX = 12  # 48 bits of rho material — enough for any real corpus
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_register_expr(key: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one key — md5-based, portable verbatim to SQL.
+
+    rho = leading zero BITS of the 48-bit slice after the bucket chars,
+    + 1 (Flajolet's rank). conv(hex, 16, 10) gives the integer both
+    engines agree on; the zero count is 48 - bit_length(slice)."""
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, HLL_HEX_CHARS), 16, 10).cast("int")
+    tail = F.conv(
+        F.substring(h, HLL_HEX_CHARS + 1, HLL_RHO_HEX), 16, 10
+    ).cast("long")
+    nbits = 4 * HLL_RHO_HEX
+    # rho = nbits - bit_length(tail) + 1, computed INTEGER-EXACT via the
+    # minimal-width binary string (Spark conv(x,10,2) == DuckDB bin(x)),
+    # never through float log2 (a 1-ulp divergence at exact powers of two
+    # would flip floor() differently per engine)
+    rho = F.when(tail == 0, F.lit(nbits + 1)).otherwise(
+        F.lit(nbits) - F.length(F.conv(tail.cast("string"), 10, 2)) + 1
+    )
+    return bucket, rho
+
+
+def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame: (hll_estimate bigint) for distinct key_col.
+
+    Build: one shuffle on bucket with map-side partial max (256 rows
+    reach the reduce side per partition); estimate: a single fold."""
+    m = 16 ** HLL_HEX_CHARS
+    bucket, rho = hll_register_expr(F.col(key_col))
+    regs = (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    alpha = _alpha(m)
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count("*").alias("nz"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nz")))
+    # linear counting below 2.5m when empty registers remain
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("nz") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("nz"))),
+    ).otherwise(raw)
+    return agg.select(F.floor(est).cast("long").alias("hll_estimate"))
+
+
+def hll_sql(table_expr: str, key_sql: str) -> str:
+    """The DuckDB mirror of ``hll_estimate`` — identical hash, identical
+    register file, identical correction branches, so the estimate is
+    hash-exact across engines."""
+    m = 16 ** HLL_HEX_CHARS
+    nbits = 4 * HLL_RHO_HEX
+    alpha = _alpha(m)
+    return f"""
+WITH h AS (SELECT md5(CAST({key_sql} AS VARCHAR)) AS hx FROM {table_expr}),
+br AS (SELECT CAST(('0x' || substr(hx, 1, {HLL_HEX_CHARS})) AS INTEGER) AS bucket,
+              CAST(('0x' || substr(hx, {HLL_HEX_CHARS + 1}, {HLL_RHO_HEX})) AS BIGINT) AS tail
+       FROM h),
+regs AS (SELECT bucket,
+                max(CASE WHEN tail = 0 THEN {nbits + 1}
+                    ELSE {nbits} - length(bin(tail)) + 1
+                    END) AS r
+         FROM br GROUP BY bucket),
+agg AS (SELECT sum(power(2.0, -r)) AS s, count(*) AS nz FROM regs),
+-- every operand forced to DOUBLE: a bare decimal literal is DECIMAL in
+-- DuckDB (overflows at alpha*m*m and wouldn't mirror Spark's IEEE math)
+est AS (SELECT CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s + ({m} - nz)) AS raw,
+               nz
+        FROM agg)
+SELECT CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND nz < {m}
+            THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / ({m} - nz))
+            ELSE raw END) AS BIGINT) AS hll_estimate
+FROM est
+"""

@@ -59,6 +59,7 @@ from spacetime_crawler4_spark.operators.pii import (
 )
 from spacetime_crawler4_spark.operators.graph import pagerank
 from spacetime_crawler4_spark.operators.quantize import int8_fidelity
+from spacetime_crawler4_spark.operators.sketch import hll_estimate, hll_sql
 from spacetime_crawler4_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -2547,6 +2548,59 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct sketch vs exact distinct, on three keys that
+    exercise both correction branches: events.user_id (50 — linear
+    counting), events.event_id (10k — raw HLL), lineitem.l_partkey.
+    Because the register hash is md5 on BOTH engines, the oracle checks
+    the ESTIMATE hash-exactly, not approximately — the sketch itself is
+    the thing under test. Register build = one shuffle with map-side
+    partial max; sketches merge by max, so per-partition registers union
+    for free at any scale."""
+    out = None
+    for label, table, col in (
+        ("events.user_id", "events", "user_id"),
+        ("events.event_id", "events", "event_id"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ):
+        df = _t(spark, sf_dir, table)
+        est = hll_estimate(df, col)
+        exact = df.agg(F.count_distinct(F.col(col)).alias("n_exact"))
+        row = (
+            est.crossJoin(exact)
+            .select(
+                F.lit(label).alias("key"),
+                "n_exact",
+                "hll_estimate",
+                F.round(
+                    F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                    / F.col("n_exact"),
+                    6,
+                ).alias("rel_err"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("key")
+
+
+def _sql_sketch_distinct() -> str:
+    blocks = []
+    for label, table, col in (
+        ("events.user_id", "events", "user_id"),
+        ("events.event_id", "events", "event_id"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ):
+        blocks.append(
+            f"""SELECT '{label}' AS key,
+       (SELECT count(DISTINCT {col}) FROM {table}) AS n_exact,
+       e.hll_estimate,
+       round(abs(e.hll_estimate - (SELECT count(DISTINCT {col}) FROM {table}))
+             * 1.0 / (SELECT count(DISTINCT {col}) FROM {table}), 6) AS rel_err
+FROM ({hll_sql(table, col)}) e"""
+        )
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY key"
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2622,4 +2676,5 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),
         "text_length_quantiles": (q_text_length_quantiles, SQL_TEXT_LENGTH_QUANTILES),
+        "sketch_distinct_hll": (q_sketch_distinct, _sql_sketch_distinct()),
     }
