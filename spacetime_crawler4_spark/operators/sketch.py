@@ -119,3 +119,95 @@ SELECT CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND nz < {m}
             ELSE raw END) AS BIGINT) AS hll_estimate
 FROM est
 """
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the frequency twin of
+# the HLL above, with the same engine-portability contract: every row hash
+# is md5-derived, so Spark and the DuckDB oracle build the bit-identical
+# counter matrix and the bit-identical estimates. Guarantees checked by
+# tests: estimate >= true count always; each row of the matrix sums to the
+# total stream weight.
+#
+# Scale shape: the matrix build is ONE shuffle whose reduce-side volume is
+# bounded by depth*width*partitions (map-side partial sum collapses the
+# token stream to at most d*w rows per map task) — at 100 TB this is how
+# you get heavy-hitter candidates without a full distinct-key shuffle.
+# Point queries join the (tiny) candidate set against the d*w-row matrix.
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 3  # pairwise-independent rows; P[overestimate] decays per row
+CMS_WIDTH = 1024  # buckets per row (error ~ e/w * total weight)
+CMS_HEX = 8  # hex chars of md5 per row hash (32 bits >> log2(width))
+
+
+def cms_bucket_expr(key: Column, row: int) -> Column:
+    """Row-``row`` bucket for one key — md5('cms{row}:'||key) % width,
+    portable verbatim to DuckDB SQL."""
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, CMS_HEX), 16, 10).cast("long") % CMS_WIDTH
+    ).cast("int")
+
+
+def cms_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(row, bucket, c) counter matrix for the key stream (weight 1 per
+    input row). One explode to depth rows per key, then one groupBy with
+    map-side partial sum — reduce-side volume <= depth*width*maps."""
+    key = F.col(key_col)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        cms_bucket_expr(key, j).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        pairs.groupBy(
+            F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_point_estimates(
+    registers: DataFrame, candidates: DataFrame, key_col: str
+) -> DataFrame:
+    """(key_col, cms_estimate) — min over the depth rows of the matrix
+    cell each candidate hashes to. The candidate side is tiny (top-k
+    heavy hitters); the matrix is at most depth*width rows, so the join
+    broadcasts."""
+    key = F.col(key_col)
+    probes = candidates.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        cms_bucket_expr(key, j).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(registers), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
+def cms_pairs_sql(key_sql: str, row: int) -> str:
+    """DuckDB mirror of ``cms_bucket_expr`` for one row index."""
+    return (
+        f"CAST(('0x' || substr(md5('cms{row}:' || CAST({key_sql} AS VARCHAR)), "
+        f"1, {CMS_HEX})) AS BIGINT) % {CMS_WIDTH}"
+    )

@@ -59,7 +59,14 @@ from spacetime_crawler4_spark.operators.pii import (
 )
 from spacetime_crawler4_spark.operators.graph import pagerank
 from spacetime_crawler4_spark.operators.quantize import int8_fidelity
-from spacetime_crawler4_spark.operators.sketch import hll_estimate, hll_sql
+from spacetime_crawler4_spark.operators.sketch import (
+    CMS_DEPTH,
+    cms_pairs_sql,
+    cms_point_estimates,
+    cms_registers,
+    hll_estimate,
+    hll_sql,
+)
 from spacetime_crawler4_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -2601,6 +2608,64 @@ FROM ({hll_sql(table, col)}) e"""
     return "\nUNION ALL\n".join(blocks) + "\nORDER BY key"
 
 
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the document token stream: the top-20
+    tokens by exact count, each with its CMS point estimate and the
+    (always >= 0) overestimate. Because every row hash is md5 on BOTH
+    engines, the oracle checks the counter matrix and the estimates
+    hash-exactly. Matrix build = one shuffle bounded at depth*width rows
+    per map task; the probe join broadcasts the 3x1024-row matrix."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(sql_tokens(F.col("text"))).alias("token"))
+    regs = cms_registers(toks, "token")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(20)
+    )
+    est = cms_point_estimates(regs, exact.select("token"), "token")
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("n_exact"), "token")
+    )
+
+
+def _sql_sketch_cms() -> str:
+    pair_rows = "\n  UNION ALL ".join(
+        f"SELECT {j} AS rw, {cms_pairs_sql('token', j)} AS bucket FROM tok"
+        for j in range(CMS_DEPTH)
+    )
+    probe_rows = "\n  UNION ALL ".join(
+        f"SELECT token, {j} AS rw, {cms_pairs_sql('token', j)} AS bucket FROM exact"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+tok AS (SELECT unnest(ts) AS token FROM toks),
+pairs AS (
+  {pair_rows}),
+regs AS (SELECT rw, bucket, count(*) AS c FROM pairs GROUP BY rw, bucket),
+exact AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token
+          ORDER BY n_exact DESC, token LIMIT 20),
+probes AS (
+  {probe_rows}),
+est AS (SELECT p.token, min(coalesce(r.c, 0)) AS cms_estimate
+        FROM probes p LEFT JOIN regs r ON r.rw = p.rw AND r.bucket = p.bucket
+        GROUP BY p.token)
+SELECT e.token, e.n_exact, s.cms_estimate,
+       s.cms_estimate - e.n_exact AS overestimate
+FROM exact e JOIN est s ON s.token = e.token
+ORDER BY n_exact DESC, e.token
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2677,4 +2742,5 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),
         "text_length_quantiles": (q_text_length_quantiles, SQL_TEXT_LENGTH_QUANTILES),
         "sketch_distinct_hll": (q_sketch_distinct, _sql_sketch_distinct()),
+        "sketch_cms_heavy_hitters": (q_sketch_cms_heavy_hitters, _sql_sketch_cms()),
     }

@@ -1,5 +1,7 @@
 """Portable HLL: accuracy envelope, merge-by-max property, plan shape."""
 
+import math
+
 from pyspark.sql import functions as F
 
 from spacetime_crawler4_spark.operators.sketch import (
@@ -62,3 +64,81 @@ def test_hll_plan_single_register_shuffle(spark):
     assert "partial_max" in plan or "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
     assert 16 ** HLL_HEX_CHARS == 256
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+from spacetime_crawler4_spark.operators.sketch import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_point_estimates,
+    cms_registers,
+)
+
+
+def _zipf_stream(spark, n=20_000, keys=400):
+    # deterministic skewed stream: key k appears ~ n/(k+1) times
+    return (
+        spark.range(n)
+        .select(
+            F.concat(
+                F.lit("k"),
+                F.floor(
+                    F.pow(F.lit(float(keys)), F.col("id") / F.lit(float(n)))
+                ).cast("int").cast("string"),
+            ).alias("k")
+        )
+    )
+
+
+def test_cms_never_underestimates(spark):
+    df = _zipf_stream(spark)
+    regs = cms_registers(df, "k")
+    exact = df.groupBy("k").agg(F.count("*").alias("n"))
+    est = cms_point_estimates(regs, exact.select("k"), "k")
+    joined = exact.join(est, "k").collect()
+    assert joined, "empty join"
+    assert all(r.cms_estimate >= r.n for r in joined)
+
+
+def test_cms_row_sums_equal_stream_weight(spark):
+    df = _zipf_stream(spark, n=5_000)
+    total = df.count()
+    rows = (
+        cms_registers(df, "k")
+        .groupBy("row")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    )
+    assert len(rows) == CMS_DEPTH
+    assert all(r.s == total for r in rows)
+
+
+def test_cms_heavy_hitters_near_exact(spark):
+    # with 400 keys into 1024 buckets x 3 rows, the top keys' estimates
+    # should be exact or within the e/w bound on this stream
+    df = _zipf_stream(spark)
+    total = df.count()
+    regs = cms_registers(df, "k")
+    exact = df.groupBy("k").agg(F.count("*").alias("n"))
+    top = exact.orderBy(F.desc("n")).limit(10)
+    est = cms_point_estimates(regs, top.select("k"), "k")
+    bound = math.e / CMS_WIDTH * total  # CM guarantee at eps = e/w
+    for r in top.join(est, "k").collect():
+        assert r.cms_estimate - r.n <= bound
+
+
+def test_cms_plan_one_shuffle_broadcast_probe(spark):
+    df = _zipf_stream(spark, n=2_000)
+    regs = cms_registers(df, "k")
+    cand = df.distinct().limit(5)
+    plan = (
+        cms_point_estimates(regs, cand, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
