@@ -410,3 +410,78 @@ def simhash_near_pairs(sim: DataFrame, threshold: int = 5, bits: int = 32) -> Da
         .distinct()
         .filter(F.col("hamming") <= threshold)
     )
+
+
+def word_windows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, whash) — EVERY sliding word n-gram with its 1-based
+    position (non-distinct, unlike ``word_shingles``): the primitive for
+    exact-substring span dedup. Built with the same linear chained
+    ``zip_with``-over-shifted-``slice`` construction; whash is md5 of the
+    gram text so the column shuffled downstream is a fixed-width hash,
+    not the gram itself."""
+    toks = sql_tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    ).select("id", (F.col("pos") + 1).alias("pos"), F.md5("gram").alias("whash"))
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact-substring duplication report per document (the relational
+    form of Lee et al. 2022's suffix-array substring dedup, at window
+    width ``n`` words): a window is *duplicated* when its hash occurs >= 2
+    times corpus-wide (cross-doc or a within-doc repeat); consecutive
+    duplicated positions merge into maximal spans (span of k windows =
+    k + n - 1 duplicated words).
+
+    Returns (id, n_spans, dup_words, n_words, dup_frac) for documents
+    with at least one duplicated span.
+
+    Scale shape: one shuffle keyed on whash for the occurrence count
+    (map-side combine; the join back is hash-to-hash), one window keyed
+    on id for span merging — both linear in total corpus words. The
+    run-length trick (pos - row_number = span group) keeps span merging
+    a single window pass, no self-join.
+    """
+    w = word_windows(df, id_col, text_col, n)
+    occ = w.groupBy("whash").agg(F.count("*").alias("occ"))
+    dup_pos = (
+        w.join(occ.filter(F.col("occ") >= 2), "whash")
+        .select("id", "pos")
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(win))
+        .groupBy("id", "grp")
+        .agg((F.count("*") + F.lit(n - 1)).alias("span_words"))
+    )
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.size(sql_tokens(F.col(text_col))).alias("n_words"),
+    )
+    return (
+        spans.groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_words").alias("dup_words"),
+        )
+        .join(words, "id")
+        .select(
+            "id",
+            "n_spans",
+            "dup_words",
+            "n_words",
+            F.round(F.col("dup_words") / F.col("n_words"), 6).alias("dup_frac"),
+        )
+    )

@@ -81,3 +81,72 @@ def pagerank(
             )
         )
     return ranks.select("id", F.col("r").alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, hub, authority) after ``iterations`` HITS rounds (Kleinberg
+    1999), L1-normalized each half-step so both score vectors stay unit
+    mass (L1 mirrors exactly in SQL; L2 would put a sqrt between the
+    engines' float sums).
+
+    Scale shape: per iteration, TWO edge-list shuffles (once keyed on
+    ``dst`` to pull authority mass onto hubs, once on ``src`` for the
+    reverse) + two 1-row normalization aggregates broadcast back. The
+    score vectors are one row per node — always the small side. On a
+    real cluster, bucket the edge list by both keys once so every
+    iteration reuses both exchanges. No driver state, no collect.
+
+    Each half-step consumes the previous score vector MORE THAN ONCE
+    (raw join + its own normalizer), so without lineage truncation the
+    analyzed plan roughly triples per iteration — 10 half-steps would
+    hang Catalyst, not just recompute. The per-iteration
+    ``localCheckpoint`` pins the (node-sized, tiny) vectors and keeps
+    every iteration's plan constant-depth; on a real cluster use
+    ``checkpoint`` to reliable storage for fault tolerance instead.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    auth = nodes.select("id", F.lit(1.0 / n).alias("a"))
+    hub = nodes.select("id", F.lit(1.0 / n).alias("h"))
+    for _ in range(iterations):
+        h_raw = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        hub = (
+            nodes.join(h_raw, "id", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "id", (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("t")).alias("h")
+            )
+            .localCheckpoint(eager=True)
+        )
+        a_raw = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        auth = (
+            nodes.join(a_raw, "id", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "id", (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("t")).alias("a")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return nodes.join(hub, "id").join(auth, "id").select(
+        "id", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 from spacetime_crawler4_spark.operators.dedup import (
     connected_components,
     dup_cluster_stats,
+    duplicated_span_stats,
     exact_dup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -57,7 +58,7 @@ from spacetime_crawler4_spark.operators.pii import (
     inject_pii,
     pii_report,
 )
-from spacetime_crawler4_spark.operators.graph import pagerank
+from spacetime_crawler4_spark.operators.graph import hits, pagerank
 from spacetime_crawler4_spark.operators.quantize import int8_fidelity
 from spacetime_crawler4_spark.operators.sketch import (
     CMS_DEPTH,
@@ -2475,21 +2476,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is exercised). One shuffle per iteration on the weighted edge
     list; the rank vector and dangling mass are the small/broadcast
     sides."""
-    li = _t(spark, sf_dir, "lineitem")
-    od = _t(spark, sf_dir, "orders")
-    pairs = li.join(od, li.l_orderkey == od.o_orderkey).select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-        "o_totalprice",
-    )
-    fwd = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).distinct()
-    back = (
-        pairs.filter(F.col("o_totalprice") > PR_BACKEDGE_MIN_PRICE)
-        .select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .distinct()
-    )
     ranks = pagerank(
-        fwd.unionByName(back), iterations=PR_ITERS, damping=PR_DAMPING
+        _trade_edges(spark, sf_dir), iterations=PR_ITERS, damping=PR_DAMPING
     )
     return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
@@ -2527,6 +2515,74 @@ r0 AS (SELECT id, 1.0 / {n} AS r FROM nodes)"""
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, round(r, 6) AS rank FROM r{PR_ITERS} ORDER BY id"
+    )
+
+
+HITS_ITERS = 5
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier->customer trade graph shared by pagerank and HITS."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pairs = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        "o_totalprice",
+    )
+    fwd = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).distinct()
+    back = (
+        pairs.filter(F.col("o_totalprice") > PR_BACKEDGE_MIN_PRICE)
+        .select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .distinct()
+    )
+    return fwd.unionByName(back)
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (5 rounds, L1-normalized half-steps) over the
+    same trade graph as graph_pagerank — suppliers act as hubs pointing
+    at the customers they supply; only big-buyer back-edges give
+    customers hub mass. Two edge shuffles per iteration; score vectors
+    and normalizers stay broadcast-small."""
+    ranks = hits(_trade_edges(spark, sf_dir), iterations=HITS_ITERS)
+    return ranks.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    ).orderBy("id")
+
+
+def _sql_hits() -> str:
+    ctes = [
+        f"""pairs AS MATERIALIZED (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+              'c' || CAST(o_custkey AS VARCHAR) AS c, o_totalprice
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS MATERIALIZED (SELECT DISTINCT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT DISTINCT c AS src, s AS dst FROM pairs
+      WHERE o_totalprice > {PR_BACKEDGE_MIN_PRICE}),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+a0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS a FROM nodes)"""
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (SELECT e.src AS id, sum(p.a) AS s
+         FROM e JOIN a{i - 1} p ON p.id = e.dst GROUP BY e.src),
+h{i} AS MATERIALIZED (SELECT n.id, coalesce(r.s, 0.0) / (SELECT sum(s) FROM hr{i}) AS h
+         FROM nodes n LEFT JOIN hr{i} r USING (id)),
+ar{i} AS MATERIALIZED (SELECT e.dst AS id, sum(p.h) AS s
+          FROM e JOIN h{i} p ON p.id = e.src GROUP BY e.dst),
+a{i} AS MATERIALIZED (SELECT n.id, coalesce(r.s, 0.0) / (SELECT sum(s) FROM ar{i}) AS a
+         FROM nodes n LEFT JOIN ar{i} r USING (id))"""
+        )
+    k = HITS_ITERS
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT h.id, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{k} h JOIN a{k} a USING (id) ORDER BY h.id"""
     )
 
 
@@ -2606,6 +2662,55 @@ def _sql_sketch_distinct() -> str:
 FROM ({hll_sql(table, col)}) e"""
         )
     return "\nUNION ALL\n".join(blocks) + "\nORDER BY key"
+
+
+SPAN_N = 8  # exact-substring window width in words
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup report (the relational form of Lee et
+    al. 2022's suffix-array method at window width 8): per document, the
+    count of maximal duplicated spans, duplicated words, and duplicated
+    fraction. One whash shuffle for occurrence counts + one per-doc
+    window for run-length span merging — linear in corpus words."""
+    docs = _t(spark, sf_dir, "documents")
+    st = duplicated_span_stats(docs, "doc_id", "text", SPAN_N)
+    return (
+        st.select(
+            F.col("id").alias("doc_id"),
+            "n_spans",
+            "dup_words",
+            F.col("n_words").cast("long").alias("n_words"),
+            "dup_frac",
+        )
+        .orderBy(F.desc("dup_frac"), F.desc("dup_words"), "doc_id")
+    )
+
+
+def _sql_substring_spans() -> str:
+    n = SPAN_N
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+w AS (SELECT doc_id AS id,
+             unnest(range(1, len(ts) - {n - 2})) AS pos,
+             unnest([md5({gram}) for i in range(1, len(ts) - {n - 2})]) AS whash
+      FROM toks),
+dup AS (SELECT whash FROM w GROUP BY whash HAVING count(*) >= 2),
+dp AS (SELECT id, pos FROM w JOIN dup USING (whash)),
+agg AS (SELECT id, count(*) AS n_spans, CAST(sum(span_words) AS BIGINT) AS dup_words
+        FROM (SELECT id, grp, count(*) + {n - 1} AS span_words
+              FROM (SELECT id, pos,
+                           pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+                    FROM dp)
+              GROUP BY id, grp)
+        GROUP BY id)
+SELECT a.id AS doc_id, a.n_spans, a.dup_words,
+       CAST(len(t.ts) AS BIGINT) AS n_words,
+       round(a.dup_words * 1.0 / len(t.ts), 6) AS dup_frac
+FROM agg a JOIN toks t ON t.doc_id = a.id
+ORDER BY dup_frac DESC, a.dup_words DESC, a.id
+"""
 
 
 def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2693,6 +2798,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
             _sql_simhash_bitwidth_density(),
         ),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+        "dedup_substring_spans": (q_dedup_substring_spans, _sql_substring_spans()),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
@@ -2740,6 +2846,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),
+        "graph_hits": (q_graph_hits, _sql_hits()),
         "text_length_quantiles": (q_text_length_quantiles, SQL_TEXT_LENGTH_QUANTILES),
         "sketch_distinct_hll": (q_sketch_distinct, _sql_sketch_distinct()),
         "sketch_cms_heavy_hitters": (q_sketch_cms_heavy_hitters, _sql_sketch_cms()),

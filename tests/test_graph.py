@@ -52,3 +52,51 @@ def test_pagerank_mass_conserved_and_dangling_flows(spark):
     want = _py_pagerank(EDGES, iters=8)
     assert sorted(ranks, key=ranks.get) == sorted(want, key=want.get)
     assert ranks["f"] > (1 - 0.85) / len(ranks)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+from spacetime_crawler4_spark.operators.graph import hits  # noqa: E402
+
+
+def _py_hits(edges, iters=5):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    a = {v: 1.0 / n for v in nodes}
+    h = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        hr = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            hr[s] += a[t]
+        tot = sum(hr.values())
+        h = {v: hr[v] / tot for v in nodes}
+        ar = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            ar[t] += h[s]
+        tot = sum(ar.values())
+        a = {v: ar[v] / tot for v in nodes}
+    return h, a
+
+
+def test_hits_matches_pure_python(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    rows = hits(df, iterations=5).collect()
+    wh, wa = _py_hits(EDGES)
+    assert {r.id for r in rows} == set(wh)
+    for r in rows:
+        assert r.hub == pytest.approx(wh[r.id], abs=1e-12), ("hub", r.id)
+        assert r.authority == pytest.approx(wa[r.id], abs=1e-12), ("auth", r.id)
+
+
+def test_hits_l1_normalized_and_sink_source_zeroes(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    rows = hits(df, iterations=7).collect()
+    assert sum(r.hub for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r.authority for r in rows) == pytest.approx(1.0, abs=1e-9)
+    by = {r.id: r for r in rows}
+    # f has no out-edges -> zero hub; d and e are never linked-to -> zero
+    # authority
+    assert by["f"].hub == 0.0
+    assert by["d"].authority == 0.0 and by["e"].authority == 0.0

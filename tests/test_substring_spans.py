@@ -1,0 +1,91 @@
+"""Exact-substring span dedup (operators/dedup.py duplicated_span_stats):
+hand-computed spans, run-length merge correctness, invariants."""
+
+from pyspark.sql import functions as F
+
+from spacetime_crawler4_spark.operators.dedup import (
+    duplicated_span_stats,
+    word_windows,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_word_windows_positions_and_count(spark):
+    df = _docs(spark, [(1, "a b c d e")])
+    rows = sorted(
+        (r.pos for r in word_windows(df, "doc_id", "text", 3).collect())
+    )
+    # 5 tokens, n=3 -> positions 1..3
+    assert rows == [1, 2, 3]
+    # doc shorter than the window -> no rows
+    short = _docs(spark, [(2, "a b")])
+    assert word_windows(short, "doc_id", "text", 3).count() == 0
+
+
+def test_shared_span_merges_to_one_maximal_run(spark):
+    # docs 1 and 2 share the 6-word run "c d e f g h"; with n=3 that is
+    # 4 consecutive duplicated windows -> ONE span of 4 + 2 = 6 words
+    df = _docs(
+        spark,
+        [
+            (1, "x y c d e f g h p q"),
+            (2, "u v c d e f g h w z"),
+        ],
+    )
+    rows = {r.id: r for r in duplicated_span_stats(df, "doc_id", "text", 3).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r.n_spans == 1
+        assert r.dup_words == 6
+        assert r.n_words == 10
+        assert r.dup_frac == 0.6
+
+
+def test_two_disjoint_spans_stay_separate(spark):
+    # shared runs "a b c" and "x y z" separated by unique middles
+    df = _docs(
+        spark,
+        [
+            (1, "a b c m1 m2 m3 x y z"),
+            (2, "a b c k1 k2 k3 x y z"),
+        ],
+    )
+    rows = {r.id: r for r in duplicated_span_stats(df, "doc_id", "text", 3).collect()}
+    for r in rows.values():
+        assert r.n_spans == 2
+        assert r.dup_words == 6  # two spans of exactly n words each
+
+
+def test_within_doc_repeat_counts(spark):
+    # a single doc repeating its own phrase is duplicated too (Lee et al.
+    # dedups within documents as well as across)
+    df = _docs(spark, [(1, "p q r s p q r s")])
+    rows = duplicated_span_stats(df, "doc_id", "text", 4).collect()
+    assert len(rows) == 1
+    assert rows[0].n_spans >= 1 and rows[0].dup_words >= 4
+
+
+def test_identical_docs_fully_duplicated(spark):
+    df = _docs(spark, [(1, "one two three four five six"), (2, "one two three four five six")])
+    rows = {r.id: r for r in duplicated_span_stats(df, "doc_id", "text", 3).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r.dup_frac == 1.0 and r.dup_words == r.n_words
+
+
+def test_unique_docs_absent_and_frac_bounded(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words here entirely friend"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+        ],
+    )
+    out = duplicated_span_stats(df, "doc_id", "text", 3)
+    got = {r.id for r in out.collect()}
+    assert got == {1, 3}
+    assert out.filter((F.col("dup_frac") > 1.0) | (F.col("dup_frac") <= 0)).count() == 0
