@@ -485,3 +485,58 @@ def duplicated_span_stats(
             F.round(F.col("dup_words") / F.col("n_words"), 6).alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    sh: DataFrame,
+    *,
+    min_containment: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997): for co-occurring
+    pairs, C(A in B) = |A∩B| / |A| and C(B in A) = |A∩B| / |B|. Catches
+    the near-dup family Jaccard misses — a short document swallowed
+    whole by a longer one (boilerplate wrappers, quote inflation) has
+    tiny Jaccard but containment ~1.
+
+    Returns (id_a, id_b, cont_small, jaccard) with id_a < id_b where
+    cont_small = containment of the SMALLER set in the larger (the
+    direction that detects engulfment), filtered at ``min_containment``.
+
+    Same scale shape as ``jaccard_pairs``: df-capped shingle equi-join
+    (linear input after the cap), sizes broadcast back onto the pair
+    aggregate.
+    """
+    if max_df is not None:
+        sh = (
+            sh.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ).alias("cont_small"),
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("cont_small") >= min_containment)
+    )

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from spacetime_crawler4_spark.operators.dedup import (
     connected_components,
+    containment_pairs,
     dup_cluster_stats,
     duplicated_span_stats,
     exact_dup_groups,
@@ -312,6 +313,44 @@ SELECT id_a, id_b,
        round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
 ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+"""
+
+
+CONT_MIN = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder): pairs where the smaller
+    word-3-gram set is >= 80% inside the larger — the engulfment family
+    (boilerplate wrappers, quoted inclusions) that symmetric Jaccard
+    misses. Same df-capped equi-join shape as dedup_ngram_jaccard, with
+    the Jaccard reported alongside to show the asymmetry."""
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        word_shingles(docs, "doc_id", "text", 3),
+        min_containment=CONT_MIN,
+        max_df=JACCARD_MAX_DF,
+    ).orderBy(F.desc("cont_small"), "id_a", "id_b")
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh0 AS (SELECT doc_id AS id,
+              unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    for i in range(1, len(ts) - 1)])) AS shingle
+       FROM toks),
+dfc AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {JACCARD_MAX_DF}),
+sh AS (SELECT id, sh0.shingle FROM sh0 JOIN dfc USING (shingle)),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / least(sa.sz, sb.sz), 6) AS cont_small,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE round(inter / least(sa.sz, sb.sz), 6) >= {CONT_MIN}
+ORDER BY cont_small DESC, id_a, id_b
 """
 
 
@@ -2799,6 +2838,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         ),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
         "dedup_substring_spans": (q_dedup_substring_spans, _sql_substring_spans()),
+        "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
