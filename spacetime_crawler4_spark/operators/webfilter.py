@@ -196,3 +196,63 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("frac_top_bigram_chars"),
         )
     )
+
+
+GOPHER_FLAGS = (
+    "flag_word_count",
+    "flag_mean_word_len",
+    "flag_symbol_ratio",
+    "flag_bullet",
+    "flag_ellipsis",
+    "flag_alpha",
+    "flag_stopwords",
+)
+HOST_BLOCK_MEAN_RULES = 0.79  # block a host whose mean rules-passed < this
+DOC_GOOD_RULES = 0.8  # a doc individually "good" passes >= 80% of rules
+
+
+def host_reputation(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Host-level reputation filtering (the UT1-blocklist / spam-domain
+    aggregation every production crawl pipeline runs): per source host,
+    the mean fraction of Gopher rules its documents pass; hosts under
+    ``HOST_BLOCK_MEAN_RULES`` are blocked wholesale. ``n_good_docs_lost``
+    counts the collateral — docs that individually pass >= 80% of rules
+    but live on a blocked host (the quantity you monitor before turning
+    a host blocklist on).
+
+    Returns (source, n_docs, mean_rules, host_blocked, n_good_docs_lost).
+
+    Scale shape: the per-doc rule flags are map-only column expressions
+    (one WholeStageCodegen span); the reputation is ONE groupBy(source)
+    with map-side partial aggregation. At 10^10 URLs the host dimension
+    is ~10^7 rows — still a broadcastable dim after this aggregate,
+    which is the point: the blocklist join back onto the corpus is a
+    broadcast, never a shuffle of the corpus.
+    """
+    g = gopher_quality(df, text_col)
+    score = sum(F.col(c).cast("int") for c in GOPHER_FLAGS) / F.lit(
+        float(len(GOPHER_FLAGS))
+    )
+    per = g.select(
+        F.col(source_col).alias("source"), F.round(score, 6).alias("doc_rules")
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("doc_rules"), 6).alias("mean_rules"),
+        F.sum(
+            (F.col("doc_rules") >= DOC_GOOD_RULES).cast("long")
+        ).alias("n_good"),
+    )
+    blocked = F.col("mean_rules") < HOST_BLOCK_MEAN_RULES
+    return agg.select(
+        "source",
+        "n_docs",
+        "mean_rules",
+        blocked.alias("host_blocked"),
+        F.when(blocked, F.col("n_good"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_good_docs_lost"),
+    )

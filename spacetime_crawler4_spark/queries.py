@@ -45,8 +45,11 @@ from spacetime_crawler4_spark.operators.sampling import (
     train_test_split,
 )
 from spacetime_crawler4_spark.operators.webfilter import (
+    DOC_GOOD_RULES,
+    HOST_BLOCK_MEAN_RULES,
     c4_clean_lines,
     gopher_quality,
+    host_reputation,
     repetition_stats,
 )
 from spacetime_crawler4_spark.operators.asof import asof_join
@@ -2151,6 +2154,44 @@ SELECT count(*) AS n_docs,
 FROM g JOIN c ON g.doc_id = c.doc_id
 """
 
+# the shared w/f feature CTEs of the gopher oracle (everything before its
+# final per-doc SELECT) — reused by the host-reputation aggregate
+_GOPHER_FEATURE_CTES = SQL_WEBFILTER_GOPHER.split("\nSELECT doc_id, n_words")[0]
+
+
+def q_webfilter_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level reputation (UT1-blocklist-style domain aggregation):
+    per source, mean fraction of Gopher rules passed; hosts under the
+    block cutoff are dropped wholesale, with the collateral count of
+    individually-good docs lost. Map-only flags + one groupBy(source) —
+    at 10^10 URLs the host table stays a broadcastable dim."""
+    docs = _t(spark, sf_dir, "documents")
+    return host_reputation(docs).orderBy("source")
+
+
+SQL_WEBFILTER_HOST_REPUTATION = f"""{_GOPHER_FEATURE_CTES},
+rp AS (SELECT d.source,
+              round((
+                  CAST((f.n_words >= 50 AND f.n_words <= 100000) AS INT)
+                + CAST((f.mean_word_len >= 3.0 AND f.mean_word_len <= 10.0) AS INT)
+                + CAST((f.symbol_ratio <= 0.1) AS INT)
+                + CAST((f.frac_bullet <= 0.9) AS INT)
+                + CAST((f.frac_ellipsis <= 0.3) AS INT)
+                + CAST((f.frac_alpha_words >= 0.8) AS INT)
+                + CAST((f.n_stop_hits >= 2) AS INT)) / 7.0, 6) AS doc_rules
+       FROM f JOIN documents d USING (doc_id)),
+agg AS (SELECT source, count(*) AS n_docs,
+               round(avg(doc_rules), 6) AS mean_rules,
+               CAST(sum(CASE WHEN doc_rules >= {DOC_GOOD_RULES} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good
+        FROM rp GROUP BY source)
+SELECT source, n_docs, mean_rules,
+       (mean_rules < {HOST_BLOCK_MEAN_RULES}) AS host_blocked,
+       CASE WHEN mean_rules < {HOST_BLOCK_MEAN_RULES} THEN n_good
+            ELSE CAST(0 AS BIGINT) END AS n_good_docs_lost
+FROM agg ORDER BY source
+"""
+
 
 # --------------------------------------------------------------------------
 # corpus hygiene: decontamination, incremental dedup, PII scrub, int8
@@ -2876,6 +2917,10 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "webfilter_c4": (q_webfilter_c4, SQL_WEBFILTER_C4),
         "webfilter_repetition": (q_webfilter_repetition, SQL_WEBFILTER_REPETITION),
         "webfilter_funnel": (q_webfilter_funnel, SQL_WEBFILTER_FUNNEL),
+        "webfilter_host_reputation": (
+            q_webfilter_host_reputation,
+            SQL_WEBFILTER_HOST_REPUTATION,
+        ),
         "dedup_srp_pairs": (q_dedup_srp_pairs, SQL_DEDUP_SRP),
         "dedup_srp_recall": (q_dedup_srp_recall, SQL_DEDUP_SRP_RECALL),
         "decontam_report": (q_decontam_report, SQL_DECONTAM),

@@ -117,3 +117,44 @@ def test_repetition_plan_is_aggregate_shaped(spark):
     # two-phase hash aggregates, no windows, no Python
     assert "HashAggregate" in plan
     assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# host reputation
+# ---------------------------------------------------------------------------
+
+from spacetime_crawler4_spark.operators.webfilter import (  # noqa: E402
+    host_reputation,
+)
+
+
+def test_host_reputation_blocks_junk_host_and_counts_collateral(spark):
+    junk = "@@@@ #### $$$$ %%%% ^^^^ &&&& !!!! ???? ;;;; ::::"
+    rows = (
+        # goodhost: 3 high-quality docs
+        [(i, GOOD, "en", "goodhost", len(GOOD)) for i in range(3)]
+        # junkhost: 2 junk docs + 1 individually-good doc (the collateral)
+        + [(10 + i, junk, "en", "junkhost", len(junk)) for i in range(2)]
+        + [(12, GOOD, "en", "junkhost", len(GOOD))]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    rep = {r.source: r for r in host_reputation(df).collect()}
+    assert not rep["goodhost"].host_blocked
+    assert rep["goodhost"].n_good_docs_lost == 0
+    assert rep["junkhost"].host_blocked
+    assert rep["junkhost"].n_good_docs_lost == 1
+    assert rep["junkhost"].mean_rules < rep["goodhost"].mean_rules
+
+
+def test_host_reputation_is_map_only_plus_one_aggregate(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD, "en", "h", 10)],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+    plan = (
+        host_reputation(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg, nothing else
