@@ -360,3 +360,56 @@ def bpe_token_stats(
             6,
         ).alias("chars_per_token"),
     )
+
+
+UNIGRAM_SMOOTH_K = 0.5  # add-k smoothing mass per vocab entry
+
+
+def unigram_bits_per_token(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020 score docs by
+    LM perplexity; the SQL-portable stand-in is a corpus-trained unigram
+    model): per document, the mean negative log2 probability of its
+    tokens under the add-k-smoothed corpus unigram distribution —
+    "bits per token"; low = stereotypical text, high = rare/garbled.
+
+    Returns (id, n_toks, bits_per_token, ppx_bucket) where ppx_bucket is
+    floor(bits_per_token) — the band a pipeline would threshold on.
+
+    Scale shape: tf per (doc, token) FIRST (one shuffle, collapses the
+    token stream), then one join against the unigram table keyed on
+    token, then a per-doc weighted aggregate. The 1-row (N, V) total is
+    a broadcast. No Python anywhere; the model "training" IS the count
+    aggregate, so incremental re-training at 100 TB is a partial-agg
+    merge, not a new pass.
+    """
+    k = UNIGRAM_SMOOTH_K
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(sql_tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("vocab")
+    )
+    bits = -F.log2(
+        (F.col("c") + F.lit(k))
+        / (F.col("n_total") + F.lit(k) * F.col("vocab"))
+    )
+    scored = (
+        tf.join(counts, "token")
+        .crossJoin(F.broadcast(totals))
+        .select("id", "tf", (F.col("tf") * bits).alias("wbits"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("tf").alias("n_toks"),
+        F.round(F.sum("wbits") / F.sum("tf"), 4).alias("bits_per_token"),
+    )
+    return per_doc.select(
+        "id",
+        "n_toks",
+        "bits_per_token",
+        F.floor("bits_per_token").cast("int").alias("ppx_bucket"),
+    )

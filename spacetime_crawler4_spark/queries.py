@@ -90,6 +90,7 @@ from spacetime_crawler4_spark.operators.textstats import (
     langid_heuristic,
     quality_features,
     token_stats,
+    unigram_bits_per_token,
 )
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
@@ -2744,6 +2745,37 @@ FROM ({hll_sql(table, col)}) e"""
     return "\nUNION ALL\n".join(blocks) + "\nORDER BY key"
 
 
+def q_text_unigram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (the SQL-portable form of CCNet's
+    perplexity filter): bits-per-token of every document under the
+    add-0.5-smoothed corpus unigram model, plus the integer band a
+    pipeline thresholds on. tf-first aggregation collapses the token
+    stream before the model join; (N, V) totals broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_bits_per_token(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_toks", "bits_per_token", "ppx_bucket"
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_UNIGRAM_PPX = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+tok AS (SELECT doc_id AS id, unnest(ts) AS token FROM toks),
+tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab FROM cnt),
+sc AS (SELECT tf.id, tf.tf,
+              tf.tf * (-log2((cnt.c + 0.5) / (tot.n_total + 0.5 * tot.vocab))) AS wbits
+       FROM tf JOIN cnt USING (token) CROSS JOIN tot),
+pd AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n_toks,
+              round(sum(wbits) / sum(tf), 4) AS bits_per_token
+       FROM sc GROUP BY id)
+SELECT id AS doc_id, n_toks, bits_per_token,
+       CAST(floor(bits_per_token) AS INT) AS ppx_bucket
+FROM pd ORDER BY doc_id
+"""
+
+
 SPAN_N = 8  # exact-substring window width in words
 
 
@@ -2928,6 +2960,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "pii_scrub": (q_pii_scrub, _sql_pii()),
         "embed_int8_fidelity": (q_embed_int8_fidelity, SQL_EMBED_INT8),
         "text_top_ngrams": (q_text_top_ngrams, SQL_TEXT_TOP_NGRAMS),
+        "text_unigram_ppx": (q_text_unigram_ppx, SQL_TEXT_UNIGRAM_PPX),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),

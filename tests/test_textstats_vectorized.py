@@ -88,3 +88,43 @@ def test_rabin_vectorized_edge_cases(spark, edge_docs):
     ids = {r[0]: r for r in vec}
     assert 0 not in ids
     assert ids[1][1] == 1
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM bits-per-token
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from spacetime_crawler4_spark.operators.textstats import (  # noqa: E402
+    UNIGRAM_SMOOTH_K,
+    unigram_bits_per_token,
+)
+
+
+def test_unigram_bits_match_hand_model(spark):
+    # corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, N=5, V=3
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id int, text string"
+    )
+    out = {r.id: r for r in unigram_bits_per_token(df).collect()}
+    k = UNIGRAM_SMOOTH_K
+    denom = 5 + k * 3
+    p = {"a": (3 + k) / denom, "b": (1 + k) / denom, "c": (1 + k) / denom}
+    want1 = -(2 * _math.log2(p["a"]) + _math.log2(p["b"])) / 3
+    want2 = -(_math.log2(p["a"]) + _math.log2(p["c"])) / 2
+    assert out[1].n_toks == 3 and out[2].n_toks == 2
+    assert abs(out[1].bits_per_token - want1) < 1e-4
+    assert abs(out[2].bits_per_token - want2) < 1e-4
+    assert out[1].ppx_bucket == int(out[1].bits_per_token)
+
+
+def test_unigram_rare_text_scores_higher(spark):
+    common = "the cat sat on the mat " * 10
+    df = spark.createDataFrame(
+        [(i, common) for i in range(5)]
+        + [(99, "zyx wvu tsr qpo nml kji")],
+        "doc_id int, text string",
+    )
+    out = {r.id: r.bits_per_token for r in unigram_bits_per_token(df).collect()}
+    assert out[99] > out[0] + 1.0  # rare tokens cost strictly more bits
