@@ -102,3 +102,35 @@ def tfidf_scores(
         )
     )
     return scored.groupBy(id_col).agg(F.sum("s").alias("tfidf"))
+
+
+def conjunctive_search(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index conjunctive (AND) retrieval: documents containing
+    EVERY query term, ranked by BM25, top-k. The AND set is the posting
+    intersection — here a groupBy over the (doc, matched-term) tf rows
+    with HAVING count == |query| (tf already has one row per matched
+    term), so intersection costs nothing beyond the tf aggregate BM25
+    needs anyway. At index scale the per-term posting lists are the
+    partitioned dimension; the intersection is a count aggregate, never
+    a multi-way self-join."""
+    scores = bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
+    terms = _doc_terms(docs, id_col, text_col)
+    matched = (
+        terms.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col)
+        .agg(F.count_distinct("term").alias("nm"))
+        .filter(F.col("nm") == len(query_terms))
+        .select(id_col)
+    )
+    return (
+        scores.join(matched, id_col)
+        .select(id_col, F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top_k)
+    )

@@ -1629,6 +1629,35 @@ GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+def q_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index AND retrieval: docs containing every query term,
+    BM25-ranked top-10. Posting intersection = HAVING count over the
+    (doc, matched-term) rows the BM25 tf aggregate already produces —
+    operators/ranking.py."""
+    from spacetime_crawler4_spark.operators.ranking import conjunctive_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return conjunctive_search(docs, _RANK_TERMS, top_k=10)
+
+
+SQL_SEARCH_CONJUNCTIVE = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+allm AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 3)
+SELECT doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * (dl / avgdl)))), 6) AS bm25
+FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+WHERE doc_id IN (SELECT doc_id FROM allm)
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic tf-idf (ln-scaled tf, smoothed idf) over the same query
     bag; top-20 — operators/ranking.py."""
@@ -2925,6 +2954,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "ann_pq_recall": (q_ann_pq_recall, SQL_ANN_PQ_RECALL),
         "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, _sql_trained_recall()),
         "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
+        "search_conjunctive": (q_search_conjunctive, SQL_SEARCH_CONJUNCTIVE),
         "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
         "text_winnow": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_rabin_fingerprint": (q_text_rabin_fingerprint, SQL_TEXT_RABIN),
