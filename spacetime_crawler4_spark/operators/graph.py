@@ -79,6 +79,12 @@ def pagerank(
                     )
                 ).alias("r"),
             )
+            # rank vector is consumed twice next iteration (dangling +
+            # contrib) — truncate lineage so the analyzed plan stays
+            # constant-depth instead of doubling per iteration (the
+            # un-truncated 5-iteration explain was 36k lines; HITS with
+            # one more reference per step outright hung Catalyst)
+            .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.col("r").alias("rank"))
 
