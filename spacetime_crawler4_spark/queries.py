@@ -1399,6 +1399,110 @@ ORDER BY priority, status
 """
 
 
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    chosen nations by ship year, supplier-side and customer-side nations
+    resolved through two broadcast dimension joins on the streamed fact.
+    The nation/supplier/customer dims broadcast; only lineitem⋈orders
+    shuffles (on orderkey) — the canonical big-fact/small-dims plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    n1 = na.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == _Q7_NATIONS[0])
+                & (F.col("cust_nation") == _Q7_NATIONS[1])
+            )
+            | (
+                (F.col("supp_nation") == _Q7_NATIONS[1])
+                & (F.col("cust_nation") == _Q7_NATIONS[0])
+            )
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            rev,
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+   OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): monthly share of revenue from
+    PROMO-type parts. part broadcasts onto the streamed lineitem; one
+    month-keyed aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            rev.alias("rev"),
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).alias("promo_rev"),
+        )
+        .groupBy("month")
+        .agg(
+            F.round(F.lit(100.0) * F.sum("promo_rev") / F.sum("rev"), 4).alias(
+                "promo_share_pct"
+            ),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_TPCH_PROMO_SHARE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over the events props column: distribution of the
     embedded "k" field per event type."""
@@ -2696,6 +2800,29 @@ FROM h{k} h JOIN a{k} a USING (id) ORDER BY h.id"""
     )
 
 
+def q_text_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per source (the canonical top-k-per-group
+    window): ONE shuffle on the group key, rank computed in-partition —
+    never a global sort. Deterministic tie-break by doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("source", "rk")
+    )
+
+
+SQL_TEXT_TOPK_PER_SOURCE = """
+SELECT source, doc_id, n_chars, rk FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rk
+  FROM documents)
+WHERE rk <= 3 ORDER BY source, rk
+"""
+
+
 def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source length distribution: n_docs, median and p90 of
     n_chars (exact linear-interpolation percentiles — Spark `percentile`
@@ -2966,6 +3093,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
         "tpch_region_revenue": (q_tpch_region_revenue, SQL_TPCH_REGION_REVENUE),
         "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
+        "tpch_volume_shipping": (q_tpch_volume_shipping, SQL_TPCH_VOLUME_SHIPPING),
+        "tpch_promo_share": (q_tpch_promo_share, SQL_TPCH_PROMO_SHARE),
         "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
@@ -2996,6 +3125,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),
         "graph_hits": (q_graph_hits, _sql_hits()),
         "text_length_quantiles": (q_text_length_quantiles, SQL_TEXT_LENGTH_QUANTILES),
+        "text_topk_per_source": (q_text_topk_per_source, SQL_TEXT_TOPK_PER_SOURCE),
         "sketch_distinct_hll": (q_sketch_distinct, _sql_sketch_distinct()),
         "sketch_cms_heavy_hitters": (q_sketch_cms_heavy_hitters, _sql_sketch_cms()),
     }
