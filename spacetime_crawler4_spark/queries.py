@@ -1263,6 +1263,66 @@ FROM g GROUP BY user_id ORDER BY user_id
 # --------------------------------------------------------------------------
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence funnel (view -> click -> purchase, strict
+    time order per user): users reaching each stage plus the end-to-end
+    conversion rate. Three progressively-shrinking stage aggregates —
+    each keyed on user_id so every join reuses the same hash partitioning;
+    the stage frames only ever shrink, never the event fact re-shuffled."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    total = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    return (
+        total.crossJoin(v.agg(F.count("*").alias("n_view")))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+        .select(
+            "n_users",
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.round(F.col("n_full_funnel") / F.col("n_users"), 6).alias("conv_rate"),
+        )
+    )
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel,
+       round((SELECT count(*) FROM p) * 1.0
+             / (SELECT count(DISTINCT user_id) FROM events), 6) AS conv_rate
+"""
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: wide aggregate with map-side partial agg."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3088,6 +3148,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
         "events_top_users": (q_events_top_users, SQL_EVENTS_TOP_USERS),
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+        "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
         "tpch_top_customers": (q_tpch_top_customers, SQL_TPCH_TOP_CUSTOMERS),
         "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
