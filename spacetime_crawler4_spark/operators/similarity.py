@@ -503,3 +503,64 @@ def srp_near_pairs(
         )
         .filter(F.col("cos") >= min_cos)
     )
+
+
+def grouped_elementwise_mean(
+    emb: DataFrame,
+    key_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_sz: int = 1024,
+) -> DataFrame:
+    """(key, n, mean) — element-wise mean vector per group, via the same
+    deterministic two-level vector-sum fold as ``ivf_train``: level 1
+    sums each fixed ``id``-bucket in ascending id order, level 2 folds
+    the bucket sums in bucket order. ONE shuffle row per vector (no
+    per-dimension explode — the n×dim posexplode form is a dim-times
+    row amplification), and the sequential fold order makes the mean
+    bit-deterministic regardless of partitioning or cluster size."""
+    base = emb.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+    lvl1 = (
+        base.groupBy("key", F.floor(F.col("vid") / bucket_sz).alias("bkt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list(F.struct("vid", "vec"))).alias("vs"),
+        )
+        .select(
+            "key",
+            "bkt",
+            "n",
+            F.aggregate(
+                F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+                F.transform(F.col("vs")[0]["vec"], lambda x: x.cast("double")),
+                lambda acc, s: F.zip_with(
+                    acc, s["vec"], lambda a, x: a + x.cast("double")
+                ),
+            ).alias("s"),
+        )
+    )
+    return (
+        lvl1.groupBy("key")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sort_array(F.collect_list(F.struct("bkt", "s"))).alias("parts"),
+        )
+        .select(
+            F.col("key"),
+            F.col("n"),
+            F.transform(
+                F.aggregate(
+                    F.slice(
+                        F.col("parts"), 2, F.greatest(F.size("parts") - 1, F.lit(0))
+                    ),
+                    F.col("parts")[0]["s"],
+                    lambda acc, p: F.zip_with(acc, p["s"], lambda a, x: a + x),
+                ),
+                lambda x: x / F.col("n"),
+            ).alias("mean"),
+        )
+    )

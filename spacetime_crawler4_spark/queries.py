@@ -949,6 +949,40 @@ GROUP BY b.query_id ORDER BY b.query_id
 """
 
 
+def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding table, long format
+    (label, dim, n_vecs, centroid): the class-prototype summary an
+    embedding pipeline maintains (cluster drift, label quality). Uses
+    the deterministic two-level element-wise vector-sum fold — one
+    shuffle row per vector, never an n×dim posexplode; only the tiny
+    label×dim result is exploded for output."""
+    from spacetime_crawler4_spark.operators.similarity import (
+        grouped_elementwise_mean,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    means = grouped_elementwise_mean(emb, "label", "vec_id", "embedding")
+    return (
+        means.select(
+            F.col("key").alias("label"),
+            F.col("n").alias("n_vecs"),
+            F.posexplode("mean").alias("dim", "v"),
+        )
+        .select("label", "dim", "n_vecs", F.round("v", 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+SQL_EMBED_LABEL_CENTROIDS = """
+WITH d AS (SELECT label, vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(x) / count(*), 6) AS centroid
+FROM d GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-cell-blocked (cos >= 0.35)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3179,6 +3213,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
         "pii_scrub": (q_pii_scrub, _sql_pii()),
         "embed_int8_fidelity": (q_embed_int8_fidelity, SQL_EMBED_INT8),
+        "embed_label_centroids": (q_embed_label_centroids, SQL_EMBED_LABEL_CENTROIDS),
         "text_top_ngrams": (q_text_top_ngrams, SQL_TEXT_TOP_NGRAMS),
         "text_unigram_ppx": (q_text_unigram_ppx, SQL_TEXT_UNIGRAM_PPX),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),

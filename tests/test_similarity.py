@@ -220,3 +220,56 @@ def test_srp_signature_plan_is_map_only(spark):
     df = emb.select("vec_id", srp_signature(F.col("embedding"), srp_planes(16, 64)).alias("sig"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# grouped element-wise mean
+# ---------------------------------------------------------------------------
+
+from spacetime_crawler4_spark.operators.similarity import (  # noqa: E402
+    grouped_elementwise_mean,
+)
+
+
+def test_grouped_elementwise_mean_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, int(i % 3), [float(x) for x in rng.randn(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<double>")
+    got = {
+        r.key: (r.n, list(r.mean))
+        for r in grouped_elementwise_mean(df, "label").collect()
+    }
+    for lbl in (0, 1, 2):
+        vecs = np.array([v for i, l, v in rows if l == lbl])
+        assert got[lbl][0] == len(vecs)
+        assert np.allclose(got[lbl][1], vecs.mean(axis=0), atol=1e-12)
+
+
+def test_grouped_elementwise_mean_partition_invariant(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, 0, [float(x) for x in rng.randn(4)]) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "vec_id int, label int, embedding array<double>")
+    a = grouped_elementwise_mean(df1.coalesce(1), "label").collect()[0]
+    b = grouped_elementwise_mean(df1.repartition(16), "label").collect()[0]
+    # bit-identical, not just close: the fold order is pinned by vec_id
+    assert list(a.mean) == list(b.mean)
+
+
+def test_grouped_elementwise_mean_no_posexplode(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0])], "vec_id int, label int, embedding array<double>"
+    )
+    plan = (
+        grouped_elementwise_mean(df, "label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # no explode of any kind
+    assert "BatchEvalPython" not in plan
