@@ -394,6 +394,74 @@ ORDER BY id_a, id_b
 """
 
 
+MINHASH_RECALL_THRESHOLDS = (0.5, 0.6, 0.7)
+
+
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-banding recall vs the EXACT Jaccard pair set at
+    three thresholds — the committed evidence for the 4×2 banding
+    trade-off (P(candidate)=1-(1-J²)⁴: ≈0.68 at J=0.5, ≈0.94 at J=0.7),
+    like dedup_srp_recall is for the hyperplane plane. Precision is 1.0
+    by construction (exact verify on candidates), so recall is the only
+    quantity banding can lose; the exact side here is the uncapped
+    co-occurrence join — affordable at audit scale, which is the point
+    of the audit."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    lo = min(MINHASH_RECALL_THRESHOLDS)
+    exact = jaccard_pairs(sh, min_jaccard=lo)
+    lsh = minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=lo)
+    thr = spark.createDataFrame(
+        [(t,) for t in MINHASH_RECALL_THRESHOLDS], "thr double"
+    )
+    n_exact = (
+        thr.join(exact, exact.jaccard >= thr.thr, "left")
+        .groupBy("thr")
+        .agg(F.count(exact.jaccard).alias("n_exact"))
+    )
+    n_lsh = (
+        thr.join(lsh, lsh.jaccard >= thr.thr, "left")
+        .groupBy("thr")
+        .agg(F.count(lsh.jaccard).alias("n_lsh"))
+    )
+    return (
+        n_exact.join(n_lsh, "thr")
+        .select(
+            "thr",
+            "n_exact",
+            "n_lsh",
+            F.round(F.col("n_lsh") / F.col("n_exact"), 4).alias("recall"),
+        )
+        .orderBy("thr")
+    )
+
+
+def _sql_minhash_recall() -> str:
+    thr_values = ", ".join(
+        f"(CAST({t} AS DOUBLE))" for t in MINHASH_RECALL_THRESHOLDS
+    )
+    pair_ctes = _SQL_MINHASH_PAIR_CTES.split(",\nsym AS")[0]
+    return f"""
+WITH {pair_ctes},
+lsh AS (SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5),
+xinter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY 1, 2),
+exact AS (SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+          FROM xinter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5),
+thr(thr) AS (VALUES {thr_values})
+SELECT t.thr,
+       (SELECT count(*) FROM exact e WHERE e.jaccard >= t.thr) AS n_exact,
+       (SELECT count(*) FROM lsh l WHERE l.jaccard >= t.thr) AS n_lsh,
+       round((SELECT count(*) FROM lsh l WHERE l.jaccard >= t.thr) * 1.0
+             / (SELECT count(*) FROM exact e WHERE e.jaccard >= t.thr), 4) AS recall
+FROM thr t ORDER BY t.thr
+"""
+
+
 # shared CTE chain: minhash-LSH verified pairs (identical to
 # SQL_DEDUP_MINHASH) — reused by the connected-components oracles below,
 # which close over the pair graph with a recursive CTE.
@@ -3150,6 +3218,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "dedup_prefix_buckets": (q_dedup_prefix_buckets, SQL_DEDUP_PREFIX),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+        "dedup_minhash_recall": (q_dedup_minhash_recall, _sql_minhash_recall()),
         "dedup_dup_clusters": (q_dedup_dup_clusters, SQL_DEDUP_CLUSTERS),
         "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
         "dedup_simhash_refparity": (q_dedup_simhash_refparity, _sql_simhash_refparity()),
