@@ -540,3 +540,70 @@ def containment_pairs(
         )
         .filter(F.col("cont_small") >= min_containment)
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact-substring dedup TRANSFORM (the removal half of Lee et al.
+    2022, to ``duplicated_span_stats``'s report half): every duplicated
+    word-``n``-gram occurrence except the globally FIRST (ordered by
+    (id, pos)) is removed from the text; kept tokens are re-joined in
+    order.
+
+    Returns (id, n_words, kept_words, cleaned) — cleaned is the
+    surviving token sequence.
+
+    Scale shape, all relational: ONE shuffle on whash for the global
+    first-occurrence rank (row_number over the window-hash), ONE per-doc
+    window pass where a ROWS n-1 PRECEDING running max turns dup-start
+    flags into covered-token coverage (token positions are dense, so the
+    frame is exact span coverage), and ONE per-doc ordered re-aggregate.
+    Linear in corpus words end to end — the suffix array the paper
+    builds is replaced by hash-rank + window arithmetic.
+    """
+    w = word_windows(df, id_col, text_col, n)
+    rk = F.row_number().over(Window.partitionBy("whash").orderBy("id", "pos"))
+    dup_starts = (
+        w.withColumn("rk", rk)
+        .filter(F.col("rk") > 1)
+        .select("id", F.col("pos").alias("tpos"), F.lit(1).alias("dup_start"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sql_tokens(F.col(text_col))).alias("p0", "token"),
+    ).select("id", (F.col("p0") + 1).alias("tpos"), "token")
+    cover_win = (
+        Window.partitionBy("id")
+        .orderBy("tpos")
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    flagged = toks.join(dup_starts, ["id", "tpos"], "left").select(
+        "id",
+        "tpos",
+        "token",
+        F.max(F.coalesce(F.col("dup_start"), F.lit(0)))
+        .over(cover_win)
+        .alias("covered"),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.lit(1) - F.col("covered")).alias("kept_words"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("covered") == 0,
+                                F.struct("tpos", "token"),
+                            )
+                        )
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )

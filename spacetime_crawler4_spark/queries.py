@@ -30,6 +30,7 @@ from spacetime_crawler4_spark.operators.dedup import (
     containment_pairs,
     dup_cluster_stats,
     duplicated_span_stats,
+    remove_duplicated_spans,
     exact_dup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -3143,6 +3144,52 @@ ORDER BY dup_frac DESC, a.dup_words DESC, a.id
 """
 
 
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. keep-one
+    semantics): duplicated word-8-gram occurrences after the globally
+    first are cut from the text; per-doc word counts before/after plus a
+    cleaned-text prefix. whash rank shuffle + per-doc coverage window +
+    ordered re-aggregate — linear, no suffix array."""
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(docs, "doc_id", "text", SPAN_N)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "kept_words",
+        F.substring("cleaned", 1, 120).alias("cleaned_prefix"),
+    ).orderBy("doc_id")
+
+
+def _sql_substring_removal() -> str:
+    n = SPAN_N
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+w AS (SELECT doc_id AS id,
+             unnest(range(1, len(ts) - {n - 2})) AS pos,
+             unnest([md5({gram}) for i in range(1, len(ts) - {n - 2})]) AS whash
+      FROM toks),
+ds AS (SELECT id, pos AS tpos, 1 AS dup_start FROM (
+         SELECT id, pos,
+                row_number() OVER (PARTITION BY whash ORDER BY id, pos) AS rk
+         FROM w)
+       WHERE rk > 1),
+tok AS (SELECT doc_id AS id, unnest(ts) AS token,
+               generate_subscripts(ts, 1) AS tpos
+        FROM toks),
+fl AS (SELECT t.id, t.tpos, t.token,
+              max(coalesce(d.dup_start, 0)) OVER (
+                  PARTITION BY t.id ORDER BY t.tpos
+                  ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS covered
+       FROM tok t LEFT JOIN ds d ON d.id = t.id AND d.tpos = t.tpos)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(1 - covered) AS BIGINT) AS kept_words,
+       substr(coalesce(string_agg(CASE WHEN covered = 0 THEN token END,
+                                  ' ' ORDER BY tpos), ''), 1, 120) AS cleaned_prefix
+FROM fl GROUP BY id ORDER BY id
+"""
+
+
 def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters over the document token stream: the top-20
     tokens by exact count, each with its CMS point estimate and the
@@ -3230,6 +3277,10 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         ),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
         "dedup_substring_spans": (q_dedup_substring_spans, _sql_substring_spans()),
+        "dedup_substring_removal": (
+            q_dedup_substring_removal,
+            _sql_substring_removal(),
+        ),
         "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),

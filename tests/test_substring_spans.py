@@ -89,3 +89,52 @@ def test_unique_docs_absent_and_frac_bounded(spark):
     got = {r.id for r in out.collect()}
     assert got == {1, 3}
     assert out.filter((F.col("dup_frac") > 1.0) | (F.col("dup_frac") <= 0)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span REMOVAL (keep-first semantics)
+# ---------------------------------------------------------------------------
+
+from spacetime_crawler4_spark.operators.dedup import (  # noqa: E402
+    remove_duplicated_spans,
+)
+
+
+def test_removal_keeps_first_occurrence_only(spark):
+    # identical docs: doc 1 (first by id) keeps everything, doc 2 loses all
+    txt = "one two three four five six"
+    df = _docs(spark, [(1, txt), (2, txt)])
+    rows = {r.id: r for r in remove_duplicated_spans(df, "doc_id", "text", 3).collect()}
+    assert rows[1].cleaned == txt and rows[1].kept_words == 6
+    assert rows[2].cleaned == "" and rows[2].kept_words == 0
+
+
+def test_removal_cuts_exact_span_coverage(spark):
+    # docs share exactly "c d e" (n=3, one window); doc 2's copy is cut,
+    # surrounding unique words survive
+    df = _docs(spark, [(1, "c d e x1 x2 x3"), (2, "y1 y2 c d e y3")])
+    rows = {r.id: r for r in remove_duplicated_spans(df, "doc_id", "text", 3).collect()}
+    assert rows[1].cleaned == "c d e x1 x2 x3"
+    assert rows[2].cleaned == "y1 y2 y3"
+    assert rows[2].kept_words == 3
+
+
+def test_removal_within_doc_repeat(spark):
+    df = _docs(spark, [(1, "p q r z1 z2 p q r")])
+    rows = remove_duplicated_spans(df, "doc_id", "text", 3).collect()
+    assert rows[0].cleaned == "p q r z1 z2"
+
+
+def test_removal_idempotent(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c d e f g"), (2, "x y a b c d e w"), (3, "c d e f g h i")],
+    )
+    once = remove_duplicated_spans(df, "doc_id", "text", 3).select(
+        F.col("id").alias("doc_id"), F.col("cleaned").alias("text")
+    )
+    twice = remove_duplicated_spans(once, "doc_id", "text", 3)
+    again = {r.id: r for r in twice.collect()}
+    for r in once.collect():
+        got = again[r.doc_id]
+        assert got.cleaned == r.text, r.doc_id
