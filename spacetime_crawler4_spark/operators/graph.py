@@ -156,3 +156,32 @@ def hits(
     return nodes.join(hub, "id").join(auth, "id").select(
         "id", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row (n_triangles) over an undirected edge list (duplicates and
+    direction are normalized away here).
+
+    The classic ordered-orientation formulation: normalize every edge to
+    (lo, hi) with lo < hi, dedupe, then count paths lo->mid->hi that
+    close with the (lo, hi) edge — each triangle counted exactly once.
+    Two equi-join shuffles over the (already deduped) edge list; at
+    cluster scale you additionally orient by DEGREE (low-degree endpoint
+    first) so no join key fans out more than sqrt(|E|) — noted here, not
+    needed at dim-table scale."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -104,3 +104,47 @@ def train_test_split(
             F.lit("train")
         ),
     )
+
+
+WEIGHTED_HEX = 13  # 52 bits of md5 -> uniform in (0, 1], double-exact
+
+
+def exp_sort_key(key: Column, weight: Column, salt: str = "w") -> Column:
+    """Efraimidis-Spirakis (2006) weighted-sampling sort key:
+    k = -ln(u) / w with u a DETERMINISTIC md5 uniform in (0, 1] — the
+    top-k rows by ASCENDING k are a weighted sample without replacement,
+    exactly as if drawn sequentially with probability proportional to
+    weight. Same retry-determinism argument as ``sample_bucket``:
+    every decision is a pure function of (key, salt), so task retries
+    and the DuckDB oracle reproduce the identical sample.
+
+    u = (slice of md5 + 1) / 16^13: +1 keeps u > 0 (ln(0) guard) and the
+    13-hex slice is 52 bits, inside a double's exact-integer range on
+    both engines."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, WEIGHTED_HEX),
+        16,
+        10,
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(16 ** WEIGHTED_HEX))
+    return -F.log(u) / weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "w",
+) -> DataFrame:
+    """Top-``k`` weighted sample without replacement (A-Res): rows with
+    the k smallest exponential sort keys. Map-only key computation +
+    TakeOrderedAndProject — no shuffle of the corpus, the global top-k
+    merges per-partition heaps. The standard data-mixing primitive
+    (sample documents proportional to length/quality weight)."""
+    return (
+        df.withColumn("_esk", exp_sort_key(F.col(key_col), F.col(weight_col), salt))
+        .orderBy("_esk", key_col)
+        .limit(k)
+        .drop("_esk")
+    )

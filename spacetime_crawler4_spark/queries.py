@@ -44,6 +44,7 @@ from spacetime_crawler4_spark.operators.sampling import (
     hash_sample,
     stratified_sample,
     train_test_split,
+    weighted_sample,
 )
 from spacetime_crawler4_spark.operators.webfilter import (
     DOC_GOOD_RULES,
@@ -63,7 +64,7 @@ from spacetime_crawler4_spark.operators.pii import (
     inject_pii,
     pii_report,
 )
-from spacetime_crawler4_spark.operators.graph import hits, pagerank
+from spacetime_crawler4_spark.operators.graph import hits, pagerank, triangle_count
 from spacetime_crawler4_spark.operators.quantize import int8_fidelity
 from spacetime_crawler4_spark.operators.sketch import (
     CMS_DEPTH,
@@ -2281,6 +2282,39 @@ paged AS (SELECT *, array_to_string(
 """
 
 
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_sample_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis-Spirakis A-Res),
+    50 docs proportional to n_chars — the data-mixing primitive, with
+    deterministic md5 uniforms so the oracle re-derives the identical
+    sample. Map-only key + TakeOrderedAndProject, no corpus shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(
+            docs.select("doc_id", F.col("n_chars").cast("double").alias("w")),
+            "doc_id",
+            "w",
+            WEIGHTED_SAMPLE_K,
+        )
+        .select("doc_id", F.col("w").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH k AS (SELECT doc_id, n_chars,
+       -ln((CAST(('0x' || substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) + 1.0) / {float(16 ** 13)!r}) / CAST(n_chars AS DOUBLE)
+           AS esk
+       FROM documents)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM k ORDER BY esk, doc_id LIMIT {WEIGHTED_SAMPLE_K})
+ORDER BY doc_id
+"""
+
+
 def q_webfilter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 A1.1) per document — the
     features, the seven rule flags, and the keep verdict. Map-only."""
@@ -2963,6 +2997,54 @@ FROM h{k} h JOIN a{k} a USING (id) ORDER BY h.id"""
     )
 
 
+COSUPPLY_TOP_EDGES = 300  # strongest co-supply pairs kept in the projection
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-supply projection: the bipartite trade
+    graph is triangle-free by construction, so project it onto suppliers
+    (edge weight = shared distinct customers) and keep the top-300
+    strongest edges (deterministic tie-break) — the backbone-graph cut
+    that stays meaningful at any SF where an absolute weight threshold
+    would not. Ordered (lo, hi) orientation counts each triangle once
+    via two equi-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    sc = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a, b = sc.alias("a"), sc.alias("b")
+    proj = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count("*").alias("shared"))
+        .orderBy(F.desc("shared"), "src", "dst")
+        .limit(COSUPPLY_TOP_EDGES)
+        .select("src", "dst")
+    )
+    tri = triangle_count(proj)
+    edges = proj.agg(F.count("*").alias("n_edges"))
+    return edges.crossJoin(tri).select("n_edges", "n_triangles")
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+proj AS (SELECT a.s AS src, b.s AS dst
+         FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+         GROUP BY a.s, b.s
+         ORDER BY count(*) DESC, a.s, b.s LIMIT {COSUPPLY_TOP_EDGES}),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM proj WHERE src <> dst),
+tri AS (SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+          ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT count(*) FROM proj) AS n_edges, tri.n_triangles FROM tri
+"""
+
+
 def q_text_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source (the canonical top-k-per-group
     window): ONE shuffle on the group key, rank computed in-partition —
@@ -3319,6 +3401,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "sample_hash_10pct": (q_sample_hash_10pct, SQL_SAMPLE_HASH),
         "sample_stratified_lang": (q_sample_stratified_lang, SQL_SAMPLE_STRATIFIED),
         "sample_train_test_split": (q_sample_train_test_split, SQL_SAMPLE_SPLIT),
+        "sample_weighted_length": (q_sample_weighted_length, SQL_SAMPLE_WEIGHTED),
         "webfilter_gopher": (q_webfilter_gopher, SQL_WEBFILTER_GOPHER),
         "webfilter_c4": (q_webfilter_c4, SQL_WEBFILTER_C4),
         "webfilter_repetition": (q_webfilter_repetition, SQL_WEBFILTER_REPETITION),
@@ -3340,6 +3423,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),
         "graph_hits": (q_graph_hits, _sql_hits()),
+        "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
         "text_length_quantiles": (q_text_length_quantiles, SQL_TEXT_LENGTH_QUANTILES),
         "text_topk_per_source": (q_text_topk_per_source, SQL_TEXT_TOPK_PER_SOURCE),
         "sketch_distinct_hll": (q_sketch_distinct, _sql_sketch_distinct()),

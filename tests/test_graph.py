@@ -100,3 +100,34 @@ def test_hits_l1_normalized_and_sink_source_zeroes(spark):
     # authority
     assert by["f"].hub == 0.0
     assert by["d"].authority == 0.0 and by["e"].authority == 0.0
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+from spacetime_crawler4_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; edges given in mixed direction with a duplicate
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("d", "a"), ("b", "d"), ("d", "c"),
+        ("b", "a"),  # reverse duplicate must not double-count
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    # a bipartite (star) graph has none
+    edges = [("hub", f"leaf{i}") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert triangle_count(df).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_self_loops_ignored(spark):
+    edges = [("a", "a"), ("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert triangle_count(df).collect()[0].n_triangles == 1

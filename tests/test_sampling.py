@@ -104,3 +104,49 @@ def test_sample_preserves_column_pruning(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan_schema = plan.split("ReadSchema")[1][:200]
     assert "text" not in scan_schema  # the wide column still not read
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spacetime_crawler4_spark.operators.sampling import (  # noqa: E402
+    weighted_sample,
+)
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(500)], "id int, w double"
+    )
+    a = sorted(r.id for r in weighted_sample(df, "id", "w", 40).collect())
+    b = sorted(r.id for r in weighted_sample(df.repartition(16), "id", "w", 40).collect())
+    assert len(a) == 40
+    assert a == b  # partitioning-invariant
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # two weight classes 10:1 — across many salts the heavy class must
+    # dominate the sample (probability proportional to weight)
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    heavy = 0
+    total = 0
+    for salt in ("s1", "s2", "s3"):
+        got = weighted_sample(df, "id", "w", 60, salt=salt).collect()
+        heavy += sum(1 for r in got if r.id < 100)
+        total += len(got)
+    # heavy ids are 1/6 of rows but 10/15 of total weight; expect far
+    # more than the uniform share (10/60 per draw)
+    assert heavy / total > 0.4, (heavy, total)
+
+
+def test_weighted_sample_changes_with_salt(spark):
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(300)], "id int, w double"
+    )
+    a = {r.id for r in weighted_sample(df, "id", "w", 30, salt="a").collect()}
+    b = {r.id for r in weighted_sample(df, "id", "w", 30, salt="b").collect()}
+    assert a != b
