@@ -69,6 +69,10 @@ HEADLINE = [
     "events_asof",
     "decontam_report",
     "pipeline_admission",
+    "dedup_substring_removal",
+    "sketch_cms_heavy_hitters",
+    "text_unigram_ppx",
+    "graph_pagerank",
     "tpch_pricing",
     "tpch_top_customers",
 ]

@@ -413,3 +413,85 @@ def unigram_bits_per_token(
         "bits_per_token",
         F.floor("bits_per_token").cast("int").alias("ppx_bucket"),
     )
+
+
+BACKOFF_ALPHA = 0.4  # Stupid Backoff discount (Brants et al. 2007)
+
+
+def bigram_bits_per_token(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram LM with Stupid Backoff (Brants et al. 2007, the web-scale
+    LM scoring recipe): token i >= 2 scores c(w_{i-1} w_i)/c(w_{i-1})
+    when the TRAINING corpus saw the bigram, else
+    alpha * p_add-k-unigram(w_i). ``train_docs`` holds the model counts
+    (defaults to ``docs`` itself — but note that scoring the training
+    corpus can never back off, every bigram is its own evidence; pass a
+    held-out split for an honest evaluation). Returns per document
+    (id, n_scored, bits_per_token, backoff_rate) — backoff_rate is the
+    fraction of scored positions that fell back, itself a quality
+    signal (garbled text backs off constantly).
+
+    Scale shape: ONE per-doc window (lag) to pair each token with its
+    predecessor, ONE shuffle each for the bigram and unigram count
+    tables, then two hash joins keyed on (prev, token) and prev. The
+    model tables are aggregates — incremental retraining is a
+    partial-agg merge. No Python.
+    """
+    k = UNIGRAM_SMOOTH_K
+    from pyspark.sql.window import Window as _W
+
+    def _toks(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(sql_tokens(F.col(text_col))).alias("p0", "token"),
+        ).select("id", (F.col("p0") + 1).alias("tpos"), "token")
+
+    def _pairs(tk: DataFrame) -> DataFrame:
+        w = _W.partitionBy("id").orderBy("tpos")
+        return tk.withColumn("prev", F.lag("token").over(w))
+
+    toks = _toks(docs)
+    train_toks = toks if train_docs is None else _toks(train_docs)
+    pairs = _pairs(toks)
+    train_pairs = pairs if train_docs is None else _pairs(train_toks)
+    uni = train_toks.groupBy("token").agg(F.count("*").alias("c1"))
+    totals = uni.agg(F.sum("c1").alias("n_total"), F.count("*").alias("vocab"))
+    big = (
+        train_pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("c2"))
+    )
+    scored = (
+        pairs.filter(F.col("prev").isNotNull())
+        .join(big, ["prev", "token"], "left")
+        .join(
+            uni.select(F.col("token").alias("prev"), F.col("c1").alias("c1_prev")),
+            "prev",
+            "left",
+        )
+        .join(uni, "token", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k)) / (
+        F.col("n_total") + F.lit(k) * F.col("vocab")
+    )
+    p = F.when(
+        F.col("c2").isNotNull(), F.col("c2") / F.col("c1_prev")
+    ).otherwise(F.lit(BACKOFF_ALPHA) * p_uni)
+    return (
+        scored.select(
+            "id",
+            (-F.log2(p)).alias("bits"),
+            F.col("c2").isNull().cast("int").alias("backed_off"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.round(F.avg("bits"), 4).alias("bits_per_token"),
+            F.round(F.avg("backed_off"), 6).alias("backoff_rate"),
+        )
+    )

@@ -86,8 +86,10 @@ from spacetime_crawler4_spark.operators.similarity import (
     srp_planes,
 )
 from spacetime_crawler4_spark.operators.textstats import (
+    BACKOFF_ALPHA,
     LANG_MARKERS,
     QUALITY_STOPWORDS,
+    bigram_bits_per_token,
     doc_fingerprint,
     langid_heuristic,
     quality_features,
@@ -3177,6 +3179,54 @@ FROM pd ORDER BY doc_id
 """
 
 
+def q_text_bigram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff LM scoring (Brants et al. 2007): model
+    counts from the TRAIN split (doc_id % 10 != 7, the same eval-split
+    convention as decontamination), every document scored — so held-out
+    docs genuinely exercise the backoff branch. Per-doc bits/token plus
+    backoff rate (garbled text backs off constantly). One lag window +
+    two model joins."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(~(F.col("doc_id") % 10 == 7))
+    out = bigram_bits_per_token(docs, train)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_scored", "bits_per_token", "backoff_rate"
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_BIGRAM_PPX = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+tok AS (SELECT doc_id AS id, unnest(ts) AS token,
+               generate_subscripts(ts, 1) AS tpos
+        FROM toks),
+pr AS (SELECT id, tpos, token,
+              lag(token) OVER (PARTITION BY id ORDER BY tpos) AS prev
+       FROM tok),
+trtok AS (SELECT * FROM tok WHERE NOT (id % 10 = 7)),
+trpr AS (SELECT * FROM pr WHERE NOT (id % 10 = 7)),
+uni AS (SELECT token, count(*) AS c1 FROM trtok GROUP BY token),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total, count(*) AS vocab FROM uni),
+big AS (SELECT prev, token, count(*) AS c2 FROM trpr
+        WHERE prev IS NOT NULL GROUP BY prev, token),
+sc AS (SELECT pr.id,
+              -log2(CASE WHEN big.c2 IS NOT NULL
+                         THEN big.c2 * 1.0 / up.c1
+                         ELSE {BACKOFF_ALPHA} * (coalesce(u.c1, 0) + 0.5)
+                              / (tot.n_total + 0.5 * tot.vocab) END) AS bits,
+              CASE WHEN big.c2 IS NULL THEN 1 ELSE 0 END AS backed_off
+       FROM pr
+       LEFT JOIN big ON big.prev = pr.prev AND big.token = pr.token
+       LEFT JOIN uni up ON up.token = pr.prev
+       LEFT JOIN uni u ON u.token = pr.token
+       CROSS JOIN tot
+       WHERE pr.prev IS NOT NULL)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       round(avg(bits), 4) AS bits_per_token,
+       round(avg(backed_off), 6) AS backoff_rate
+FROM sc GROUP BY id ORDER BY doc_id
+"""
+
+
 SPAN_N = 8  # exact-substring window width in words
 
 
@@ -3419,6 +3469,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "embed_label_centroids": (q_embed_label_centroids, SQL_EMBED_LABEL_CENTROIDS),
         "text_top_ngrams": (q_text_top_ngrams, SQL_TEXT_TOP_NGRAMS),
         "text_unigram_ppx": (q_text_unigram_ppx, SQL_TEXT_UNIGRAM_PPX),
+        "text_bigram_ppx": (q_text_bigram_ppx, SQL_TEXT_BIGRAM_PPX),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),

@@ -128,3 +128,60 @@ def test_unigram_rare_text_scores_higher(spark):
     )
     out = {r.id: r.bits_per_token for r in unigram_bits_per_token(df).collect()}
     assert out[99] > out[0] + 1.0  # rare tokens cost strictly more bits
+
+
+# ---------------------------------------------------------------------------
+# bigram Stupid Backoff
+# ---------------------------------------------------------------------------
+
+from spacetime_crawler4_spark.operators.textstats import (  # noqa: E402
+    BACKOFF_ALPHA,
+    bigram_bits_per_token,
+)
+
+
+def test_bigram_backoff_hand_model(spark):
+    # corpus: doc1 "a b a b", doc2 "a c"
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1; unigrams a=3,b=2,c=1, N=6, V=3
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id int, text string"
+    )
+    out = {r.id: r for r in bigram_bits_per_token(df).collect()}
+    k = 0.5
+    # doc1 scored: b|a = 2/3, a|b = 1/2, b|a = 2/3 -> no backoff
+    want1 = -(2 * _math.log2(2 / 3) + _math.log2(1 / 2)) / 3
+    assert out[1].n_scored == 3
+    assert out[1].backoff_rate == 0.0
+    assert abs(out[1].bits_per_token - want1) < 1e-4
+    # doc2 scored: c|a seen once -> 1/3 -> no backoff either
+    assert out[2].n_scored == 1
+    assert out[2].backoff_rate == 0.0
+    assert abs(out[2].bits_per_token - (-_math.log2(1 / 3))) < 1e-4
+
+
+def test_bigram_unseen_pair_backs_off(spark):
+    # the model is trained WITHOUT doc 3, whose "b c" bigram is then
+    # unseen and must back off to alpha * p_uni(c)
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id int, text string"
+    )
+    score = train.unionByName(
+        spark.createDataFrame([(3, "b c")], "doc_id int, text string")
+    )
+    out = {r.id: r for r in bigram_bits_per_token(score, train).collect()}
+    assert out[3].backoff_rate == 1.0
+    k = 0.5
+    # train unigrams: a=2, b=1, c=1 -> N=4, V=3; c is the backed-off token
+    p = BACKOFF_ALPHA * (1 + k) / (4 + k * 3)
+    assert abs(out[3].bits_per_token - (-_math.log2(p))) < 1e-4
+    # docs 1-2 score their own training bigrams - never back off
+    assert out[1].backoff_rate == 0.0 and out[2].backoff_rate == 0.0
+
+
+def test_bigram_self_train_never_backs_off(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "z q"), (3, "totally novel words")],
+        "doc_id int, text string",
+    )
+    out = bigram_bits_per_token(df).collect()
+    assert all(r.backoff_rate == 0.0 for r in out)
