@@ -3227,6 +3227,71 @@ FROM sc GROUP BY id ORDER BY doc_id
 """
 
 
+BPE_MERGES = 10
+
+
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016) over the
+    corpus vocabulary: the learned 10-row merge table, every quantity an
+    integer or string so the artifact is hash-exact with zero float
+    slack. One corpus shuffle for word counts; the loop is relational
+    algebra over the vocabulary — operators/bpe.py."""
+    from spacetime_crawler4_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=BPE_MERGES)
+
+
+def _sql_bpe_train() -> str:
+    ctes = [
+        f"""w AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+wf AS (SELECT t AS wid, count(*) AS freq
+       FROM (SELECT unnest(ts) AS t FROM w) GROUP BY t),
+s0 AS MATERIALIZED (
+  SELECT wid, freq, unnest(range(1, length(wid) + 2)) AS pos,
+         unnest([substr(wid, i, 1) for i in range(1, length(wid) + 1)]
+                || ['</w>']) AS sym
+  FROM wf)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        p = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS (SELECT sym, nxt, CAST(sum(freq) AS BIGINT) AS pc FROM (
+        SELECT sym, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt, freq
+        FROM {p}) WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+b{i} AS MATERIALIZED (SELECT sym AS l, nxt AS r, sym || nxt AS m, pc
+       FROM p{i} ORDER BY pc DESC, sym, nxt LIMIT 1),
+c{i} AS MATERIALIZED (
+  SELECT wid, freq, pos, sym, nxt,
+         (sym = (SELECT l FROM b{i}) AND nxt = (SELECT r FROM b{i})) AS cand
+  FROM (SELECT wid, freq, pos, sym,
+               lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+        FROM {p})),
+k{i} AS (SELECT wid, pos, TRUE AS merge_here FROM (
+        SELECT wid, pos, pos - min(pos) OVER (PARTITION BY wid, grp) AS off
+        FROM (SELECT wid, pos,
+                     pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS grp
+              FROM c{i} WHERE cand))
+       WHERE off % 2 = 0),
+s{i} AS MATERIALIZED (
+  SELECT wid, freq,
+         row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+         CASE WHEN coalesce(merge_here, FALSE) THEN (SELECT m FROM b{i})
+              ELSE sym END AS sym
+  FROM (SELECT c.wid, c.freq, c.pos, c.sym, k.merge_here,
+               lag(coalesce(k.merge_here, FALSE))
+                   OVER (PARTITION BY c.wid ORDER BY c.pos) AS drop_me
+        FROM c{i} c LEFT JOIN k{i} k ON k.wid = c.wid AND k.pos = c.pos)
+  WHERE NOT coalesce(drop_me, FALSE))"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS \"left\", r AS \"right\", m AS merged, "
+        f"pc AS pair_count FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{rows}\nORDER BY rank"
+
+
 SPAN_N = 8  # exact-substring window width in words
 
 
@@ -3470,6 +3535,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_top_ngrams": (q_text_top_ngrams, SQL_TEXT_TOP_NGRAMS),
         "text_unigram_ppx": (q_text_unigram_ppx, SQL_TEXT_UNIGRAM_PPX),
         "text_bigram_ppx": (q_text_bigram_ppx, SQL_TEXT_BIGRAM_PPX),
+        "text_bpe_train": (q_text_bpe_train, _sql_bpe_train()),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),
