@@ -56,11 +56,15 @@ def bpe_train(
     n_merges: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
+    return_state: bool = False,
+):
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     table (rank, left, right, merged, pair_count) — the artifact a
     tokenizer ships. pair_count is the weighted adjacent-pair frequency
-    that won rank's argmax."""
+    that won rank's argmax. With ``return_state`` True, returns
+    (merges, state) where state is the final per-word segmentation
+    (wid, freq, pos, sym) — the lookup table that tokenizes the corpus
+    by a plain join on word."""
     from spacetime_crawler4_spark.operators.dedup import sql_tokens
 
     words = (
@@ -135,4 +139,45 @@ def bpe_train(
             )
             .localCheckpoint(eager=True)
         )
-    return out.orderBy("rank")
+    merges = out.orderBy("rank")
+    if return_state:
+        return merges, state
+    return merges
+
+
+def bpe_tokens_per_doc(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the trained segmentation back to the corpus: per document,
+    whitespace-word count vs BPE-token count and the tokens-per-word
+    ratio (the fertility number tokenizer work tracks). Tokenizing is a
+    JOIN — doc words against the (word -> n_symbols) lookup the trainer
+    already built — so the corpus-side cost is one explode + one hash
+    join, independent of the merge count."""
+    from spacetime_crawler4_spark.operators.dedup import sql_tokens
+
+    _, state = bpe_train(docs, n_merges, id_col, text_col, return_state=True)
+    seg_len = state.groupBy("wid").agg(F.count("*").alias("n_sym"))
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(sql_tokens(F.col(text_col))).alias("wid"),
+    )
+    return (
+        words.join(seg_len, "wid")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+    )

@@ -3292,6 +3292,35 @@ s{i} AS MATERIALIZED (
     return "WITH " + ",\n".join(ctes) + f"\n{rows}\nORDER BY rank"
 
 
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE: per doc, word count vs
+    BPE-token count and fertility (tokens/word). Tokenization is a hash
+    join against the trainer's final per-word segmentation."""
+    from spacetime_crawler4_spark.operators.bpe import bpe_tokens_per_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bpe_tokens_per_doc(docs, n_merges=BPE_MERGES)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens", "tokens_per_word"
+    ).orderBy("doc_id")
+
+
+def _sql_bpe_apply() -> str:
+    # reuse the full training CTE chain; replace the merge-table SELECT
+    # with the fertility join against the final state s{BPE_MERGES}
+    train = _sql_bpe_train()
+    ctes = train[: train.rindex("\nSELECT 1 AS rank")]
+    return f"""{ctes},
+seg AS (SELECT wid, count(*) AS n_sym FROM s{BPE_MERGES} GROUP BY wid),
+dw AS (SELECT doc_id AS id, unnest(ts) AS wid FROM w)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       round(sum(n_sym) * 1.0 / count(*), 6) AS tokens_per_word
+FROM dw JOIN seg USING (wid)
+GROUP BY id ORDER BY id
+"""
+
+
 SPAN_N = 8  # exact-substring window width in words
 
 
@@ -3536,6 +3565,7 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_unigram_ppx": (q_text_unigram_ppx, SQL_TEXT_UNIGRAM_PPX),
         "text_bigram_ppx": (q_text_bigram_ppx, SQL_TEXT_BIGRAM_PPX),
         "text_bpe_train": (q_text_bpe_train, _sql_bpe_train()),
+        "text_bpe_apply": (q_text_bpe_apply, _sql_bpe_apply()),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "pipeline_admission": (q_pipeline_admission, _sql_pipeline_admission()),
         "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),

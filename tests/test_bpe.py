@@ -79,3 +79,34 @@ def test_bpe_differential_random_corpus(spark):
     freqs = Counter(words)
     got = _train(spark, text, 8)
     assert got == _py_bpe(dict(freqs), 8)
+
+
+def test_bpe_apply_fertility(spark):
+    from spacetime_crawler4_spark.operators.bpe import bpe_tokens_per_doc
+
+    text = " ".join(["low"] * 5 + ["lowest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = bpe_tokens_per_doc(df, n_merges=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_words == 8
+    # BPE always segments into at least 1 and at most len(word)+1 symbols
+    assert r.n_bpe_tokens >= r.n_words
+    assert 1.0 <= r.tokens_per_word <= 7.0
+    # differential: fertility must equal the python reference segmentation
+    freqs = {"low": 5, "lowest": 3}
+    merges = _py_bpe(freqs, 4)
+    state = {w: [*w, "</w>"] for w in freqs}
+    for a, b, _, _ in merges:
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    want = sum(len(state[w]) * f for w, f in freqs.items())
+    assert r.n_bpe_tokens == want
