@@ -72,7 +72,6 @@ HEADLINE = [
     "dedup_substring_removal",
     "sketch_cms_heavy_hitters",
     "text_unigram_ppx",
-    "graph_pagerank",
     "tpch_pricing",
     "tpch_top_customers",
 ]
