@@ -138,3 +138,54 @@ def test_removal_idempotent(spark):
     for r in once.collect():
         got = again[r.doc_id]
         assert got.cleaned == r.text, r.doc_id
+
+
+def _py_remove_spans(docs, n):
+    """Pure-python keep-first reference: global first occurrence of each
+    duplicated n-gram window survives; later occurrences' covered tokens
+    are cut."""
+    toks = {i: t.lower().split() for i, t in docs}
+    occ = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(tuple(ts[p : p + n]), []).append((i, p))
+    dup_starts = {}
+    for _g, locs in occ.items():
+        for i, p in locs[1:] if len(locs) > 1 else []:
+            dup_starts.setdefault(i, set()).add(p)
+    out = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        covered = set()
+        for p in dup_starts.get(i, ()):
+            covered.update(range(p, p + n))
+        out[i] = " ".join(t for j, t in enumerate(ts) if j not in covered)
+    return out
+
+
+def test_removal_random_differential(spark):
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{j}" for j in range(30)]
+    docs = []
+    for i in range(1, 25):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        # splice in a shared phrase sometimes to force cross-doc dups
+        if rng.random() < 0.5:
+            pos = rng.randint(0, max(0, len(words) - 1))
+            words[pos:pos] = ["shared", "phrase", "alpha", "beta", "gamma"]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.id: r.cleaned
+        for r in remove_duplicated_spans(df, "doc_id", "text", 4).collect()
+    }
+    want = _py_remove_spans(docs, 4)
+    # operator only emits docs with >=4 tokens (shorter ones have no
+    # windows and pass through unscored); compare on its domain
+    for i, txt in docs:
+        if len(txt.split()) == 0:
+            continue
+        assert got[i] == want[i], i
