@@ -72,6 +72,7 @@ from spacetime_crawler4_spark.operators.sketch import (
     cms_point_estimates,
     cms_registers,
     hll_estimate,
+    hll_register_expr,
     hll_sql,
 )
 from spacetime_crawler4_spark.operators.similarity import (
@@ -1426,6 +1427,51 @@ SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
        (SELECT count(*) FROM p) AS n_full_funnel,
        round((SELECT count(*) FROM p) * 1.0
              / (SELECT count(DISTINCT user_id) FROM events), 6) AS conv_rate
+"""
+
+
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: seconds from first view to the first purchase
+    after it, per converting user — exact median/p90 (Spark `percentile`
+    == DuckDB `quantile_cont`). Same shrinking per-user stage aggregates
+    as events_funnel."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.first("t1").alias("t1"))
+    )
+    secs = F.col("t3").cast("timestamp").cast("long") - F.col("t1").cast(
+        "timestamp"
+    ).cast("long")
+    return p.select(secs.alias("s")).agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("s", F.lit(0.5)), 4).alias("median_secs"),
+        F.round(F.percentile("s", F.lit(0.9)), 4).alias("p90_secs"),
+    )
+
+
+SQL_EVENTS_TIME_TO_CONVERT = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3, min(v.t1) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY e.user_id),
+-- floor, not CAST: DuckDB CAST(double AS BIGINT) rounds to nearest,
+-- Spark's timestamp->long truncates — sub-second parts would skew by 1s
+s AS (SELECT CAST(floor(epoch(t3)) AS BIGINT)
+             - CAST(floor(epoch(t1)) AS BIGINT) AS s FROM p)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(s, 0.5), 4) AS median_secs,
+       round(quantile_cont(s, 0.9), 4) AS p90_secs
+FROM s
 """
 
 
@@ -3416,6 +3462,114 @@ FROM fl GROUP BY id ORDER BY id
 """
 
 
+def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-merge contract as an oracle-checked query: per-partition
+    HLL register files UNION BY MAX. Here the 'partitions' are the click
+    and view event streams — merging their registers must yield the
+    bit-identical estimate of the union's distinct users, checked against
+    both the direct union sketch and the exact count (plus the
+    inclusion-exclusion intersection estimate). At 100 TB this is why
+    distinct-counts never need a global distinct shuffle: registers
+    merge associatively from any partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    bucket, rho = hll_register_expr(F.col("user_id"))
+
+    def regs(df):
+        return (
+            df.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("r"))
+        )
+
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    both = ev.filter(F.col("event_type").isin("click", "view"))
+    merged = (
+        regs(clicks)
+        .unionByName(regs(views))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+    m = 16 ** 2  # HLL_HEX_CHARS = 2
+    from spacetime_crawler4_spark.operators.sketch import _alpha
+
+    def est(rdf):
+        agg = rdf.agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+            F.count("*").alias("nz"),
+        )
+        raw = F.lit(_alpha(m) * m * m) / (F.col("s") + (F.lit(m) - F.col("nz")))
+        e = F.when(
+            (raw <= 2.5 * m) & (F.col("nz") < m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("nz"))),
+        ).otherwise(raw)
+        return agg.select(F.floor(e).cast("long").alias("est"))
+
+    exact = both.agg(F.count_distinct("user_id").alias("n_exact"))
+    direct = est(regs(both)).select(F.col("est").alias("hll_direct"))
+    viamerge = est(merged).select(F.col("est").alias("hll_merged"))
+    inter = (
+        hll_estimate(clicks, "user_id")
+        .select(F.col("hll_estimate").alias("ec"))
+        .crossJoin(hll_estimate(views, "user_id").select(F.col("hll_estimate").alias("ev")))
+    )
+    return (
+        exact.crossJoin(direct)
+        .crossJoin(viamerge)
+        .crossJoin(inter)
+        .select(
+            "n_exact",
+            "hll_direct",
+            "hll_merged",
+            (F.col("hll_merged") == F.col("hll_direct")).alias("merge_exact"),
+            (F.col("ec") + F.col("ev") - F.col("hll_merged")).alias(
+                "hll_intersection_est"
+            ),
+        )
+    )
+
+
+def _sql_sketch_hll_union() -> str:
+    m = 16 ** 2
+    from spacetime_crawler4_spark.operators.sketch import (
+        HLL_HEX_CHARS,
+        HLL_RHO_HEX,
+        _alpha,
+    )
+
+    nbits = 4 * HLL_RHO_HEX
+
+    def regs(pred: str) -> str:
+        return f"""(SELECT bucket, max(r) AS r FROM (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {HLL_HEX_CHARS})) AS INTEGER) AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), {HLL_HEX_CHARS + 1}, {HLL_RHO_HEX})) AS BIGINT) = 0
+              THEN {nbits + 1}
+              ELSE {nbits} - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), {HLL_HEX_CHARS + 1}, {HLL_RHO_HEX})) AS BIGINT))) + 1
+         END AS r
+  FROM events WHERE {pred}) GROUP BY bucket)"""
+
+    def est(src: str) -> str:
+        return f"""(SELECT CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND nz < {m}
+              THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / ({m} - nz))
+              ELSE raw END) AS BIGINT)
+        FROM (SELECT CAST({_alpha(m)!r} AS DOUBLE) * {m} * {m} / (s + ({m} - nz)) AS raw, nz
+              FROM (SELECT sum(power(2.0, -r)) AS s, count(*) AS nz FROM {src} t)))"""
+
+    merged = f"""(SELECT bucket, max(r) AS r FROM (
+  SELECT * FROM {regs("event_type = 'click'")} u
+  UNION ALL SELECT * FROM {regs("event_type = 'view'")} v) GROUP BY bucket)"""
+    return f"""
+SELECT (SELECT count(DISTINCT user_id) FROM events
+        WHERE event_type IN ('click', 'view')) AS n_exact,
+       {est(regs("event_type IN ('click', 'view')"))} AS hll_direct,
+       {est(merged)} AS hll_merged,
+       ({est(merged)} = {est(regs("event_type IN ('click', 'view')"))}) AS merge_exact,
+       ({est(regs("event_type = 'click'"))} + {est(regs("event_type = 'view'"))}
+        - {est(merged)}) AS hll_intersection_est
+"""
+
+
 def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters over the document token stream: the top-20
     tokens by exact count, each with its CMS point estimate and the
@@ -3529,6 +3683,10 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "events_top_users": (q_events_top_users, SQL_EVENTS_TOP_USERS),
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
         "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+        "events_time_to_convert": (
+            q_events_time_to_convert,
+            SQL_EVENTS_TIME_TO_CONVERT,
+        ),
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
         "tpch_top_customers": (q_tpch_top_customers, SQL_TPCH_TOP_CUSTOMERS),
         "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
@@ -3575,4 +3733,5 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_topk_per_source": (q_text_topk_per_source, SQL_TEXT_TOPK_PER_SOURCE),
         "sketch_distinct_hll": (q_sketch_distinct, _sql_sketch_distinct()),
         "sketch_cms_heavy_hitters": (q_sketch_cms_heavy_hitters, _sql_sketch_cms()),
+        "sketch_hll_union": (q_sketch_hll_union, _sql_sketch_hll_union()),
     }
