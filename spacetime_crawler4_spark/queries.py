@@ -3634,71 +3634,15 @@ ORDER BY n_exact DESC, e.token
 
 
 def registry() -> dict[str, tuple[SparkFn, str | None]]:
+    # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
+    # entries. Round-4 rotation (VERDICT r3 next-round #1): the 32 queries
+    # added in round 3 that never received a driver CORRECTNESS row come
+    # first, then the five queries last driver-checked in r1/r2, then the
+    # new round-4 crawl-state queries, then the highest-value r3-green
+    # queries up to the window edge. Every query keeps its local DuckDB
+    # oracle gate (tests/test_oracle_parity.py) regardless of position.
     return {
-        "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
-        "report_longest_doc": (q_report_longest_doc, SQL_REPORT_LONGEST),
-        "report_docs_per_source": (q_report_docs_per_source, SQL_REPORT_PER_SOURCE),
-        "report_lang_tallies": (q_report_lang_tallies, SQL_REPORT_LANG),
-        "report_corpus_totals": (q_report_corpus_totals, SQL_REPORT_TOTALS),
-        "report_depth_histogram": (q_report_depth_histogram, SQL_REPORT_DEPTH_HISTOGRAM),
-        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-        "dedup_prefix_buckets": (q_dedup_prefix_buckets, SQL_DEDUP_PREFIX),
-        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
-        "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
-        "dedup_minhash_recall": (q_dedup_minhash_recall, _sql_minhash_recall()),
-        "dedup_dup_clusters": (q_dedup_dup_clusters, SQL_DEDUP_CLUSTERS),
-        "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
-        "dedup_simhash_refparity": (q_dedup_simhash_refparity, _sql_simhash_refparity()),
-        "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
-        "dedup_simhash64_pairs": (q_dedup_simhash64_pairs, _sql_simhash64_pairs()),
-        "dedup_simhash_bitwidth_density": (
-            q_dedup_simhash_bitwidth_density,
-            _sql_simhash_bitwidth_density(),
-        ),
-        "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
-        "dedup_substring_spans": (q_dedup_substring_spans, _sql_substring_spans()),
-        "dedup_substring_removal": (
-            q_dedup_substring_removal,
-            _sql_substring_removal(),
-        ),
-        "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
-        "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-        "text_langid": (q_text_langid, SQL_TEXT_LANGID),
-        "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
-        "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-        "text_bpe_token_stats": (q_text_bpe_token_stats, SQL_TEXT_BPE),
-        "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTE),
-        "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-        "ann_ivf_recall": (q_ann_ivf_recall, _sql_ann_recall()),
-        "ann_ivf_probe2": (q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
-        "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
-        "ann_pq_recall": (q_ann_pq_recall, SQL_ANN_PQ_RECALL),
-        "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, _sql_trained_recall()),
-        "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
-        "search_conjunctive": (q_search_conjunctive, SQL_SEARCH_CONJUNCTIVE),
-        "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
-        "text_winnow": (q_text_winnow, SQL_TEXT_WINNOW),
-        "text_rabin_fingerprint": (q_text_rabin_fingerprint, SQL_TEXT_RABIN),
-        "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-        "events_top_users": (q_events_top_users, SQL_EVENTS_TOP_USERS),
-        "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
-        "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
-        "events_time_to_convert": (
-            q_events_time_to_convert,
-            SQL_EVENTS_TIME_TO_CONVERT,
-        ),
-        "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
-        "tpch_top_customers": (q_tpch_top_customers, SQL_TPCH_TOP_CUSTOMERS),
-        "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
-        "tpch_region_revenue": (q_tpch_region_revenue, SQL_TPCH_REGION_REVENUE),
-        "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
-        "tpch_volume_shipping": (q_tpch_volume_shipping, SQL_TPCH_VOLUME_SHIPPING),
-        "tpch_promo_share": (q_tpch_promo_share, SQL_TPCH_PROMO_SHARE),
-        "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
-        "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
-        "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-        "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
-        "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
+        # --- never driver-checked (round-3 additions), original order ---
         "multimodal_jpeg_roundtrip": (q_multimodal_jpeg_roundtrip, SQL_MULTIMODAL_JPEG),
         "sample_hash_10pct": (q_sample_hash_10pct, SQL_SAMPLE_HASH),
         "sample_stratified_lang": (q_sample_stratified_lang, SQL_SAMPLE_STRATIFIED),
@@ -3734,4 +3678,72 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "sketch_distinct_hll": (q_sketch_distinct, _sql_sketch_distinct()),
         "sketch_cms_heavy_hitters": (q_sketch_cms_heavy_hitters, _sql_sketch_cms()),
         "sketch_hll_union": (q_sketch_hll_union, _sql_sketch_hll_union()),
+        # --- last driver-checked in r1/r2, due a re-check ---
+        "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
+        "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
+        "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+        "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
+        "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
+        # --- high-value r3-green queries retained in the window ---
+        "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+        "dedup_simhash_refparity": (q_dedup_simhash_refparity, _sql_simhash_refparity()),
+        "dedup_simhash64_pairs": (q_dedup_simhash64_pairs, _sql_simhash64_pairs()),
+        "dedup_substring_removal": (
+            q_dedup_substring_removal,
+            _sql_substring_removal(),
+        ),
+        # --- r3-green, rotated out of the driver window (local oracle
+        #     gate still applies to every one of these) ---
+        "report_longest_doc": (q_report_longest_doc, SQL_REPORT_LONGEST),
+        "report_docs_per_source": (q_report_docs_per_source, SQL_REPORT_PER_SOURCE),
+        "report_lang_tallies": (q_report_lang_tallies, SQL_REPORT_LANG),
+        "report_corpus_totals": (q_report_corpus_totals, SQL_REPORT_TOTALS),
+        "report_depth_histogram": (q_report_depth_histogram, SQL_REPORT_DEPTH_HISTOGRAM),
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_prefix_buckets": (q_dedup_prefix_buckets, SQL_DEDUP_PREFIX),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
+        "dedup_minhash_recall": (q_dedup_minhash_recall, _sql_minhash_recall()),
+        "dedup_dup_clusters": (q_dedup_dup_clusters, SQL_DEDUP_CLUSTERS),
+        "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
+        "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
+        "dedup_simhash_bitwidth_density": (
+            q_dedup_simhash_bitwidth_density,
+            _sql_simhash_bitwidth_density(),
+        ),
+        "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+        "dedup_substring_spans": (q_dedup_substring_spans, _sql_substring_spans()),
+        "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+        "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+        "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+        "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+        "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+        "text_bpe_token_stats": (q_text_bpe_token_stats, SQL_TEXT_BPE),
+        "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTE),
+        "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+        "ann_ivf_recall": (q_ann_ivf_recall, _sql_ann_recall()),
+        "ann_ivf_probe2": (q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
+        "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
+        "ann_pq_recall": (q_ann_pq_recall, SQL_ANN_PQ_RECALL),
+        "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, _sql_trained_recall()),
+        "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
+        "search_conjunctive": (q_search_conjunctive, SQL_SEARCH_CONJUNCTIVE),
+        "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+        "text_winnow": (q_text_winnow, SQL_TEXT_WINNOW),
+        "text_rabin_fingerprint": (q_text_rabin_fingerprint, SQL_TEXT_RABIN),
+        "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+        "events_top_users": (q_events_top_users, SQL_EVENTS_TOP_USERS),
+        "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+        "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+        "events_time_to_convert": (
+            q_events_time_to_convert,
+            SQL_EVENTS_TIME_TO_CONVERT,
+        ),
+        "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
+        "tpch_top_customers": (q_tpch_top_customers, SQL_TPCH_TOP_CUSTOMERS),
+        "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
+        "tpch_region_revenue": (q_tpch_region_revenue, SQL_TPCH_REGION_REVENUE),
+        "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
+        "tpch_volume_shipping": (q_tpch_volume_shipping, SQL_TPCH_VOLUME_SHIPPING),
+        "tpch_promo_share": (q_tpch_promo_share, SQL_TPCH_PROMO_SHARE),
     }
