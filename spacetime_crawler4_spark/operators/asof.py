@@ -36,16 +36,29 @@ def asof_join(
     ts_col: str,
     right_payload: list[str],
     seq_col: str | None = None,
+    out_col: str = "asof",
 ) -> DataFrame:
-    """Left as-of join: every ``left`` row + struct ``asof`` holding the
-    payload columns of the latest ``right`` row at-or-before its ts
-    (NULL when no prior right row exists for the key).
+    """Left as-of join: every ``left`` row + struct ``out_col`` (default
+    ``asof``) holding the payload columns of the latest ``right`` row
+    at-or-before its ts (NULL when no prior right row exists for the key).
 
     ``right_payload`` — right columns to carry; ``seq_col`` — optional
     within-side tiebreak column included in the sort for full
     determinism when (key, ts) can repeat.
+
+    Raises ``ValueError`` when ``out_col`` or one of the internal
+    temporaries collides with a left column name — a silent duplicate
+    column would only blow up at the NEXT select-by-name.
     """
     lcols = left.columns
+    reserved = {"_k", "_ts", "_side", "_seq", "_rp"} | {out_col}
+    clash = sorted(reserved & set(lcols))
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with the output "
+            f"column or internal temporaries; rename them or pass a "
+            f"different out_col"
+        )
     payload = F.struct(*[F.col(c) for c in right_payload])
     r = right.select(
         F.col(key_col).alias("_k"),
@@ -70,7 +83,7 @@ def asof_join(
     )
     return (
         r.unionByName(l)
-        .withColumn("asof", F.last("_rp", ignorenulls=True).over(w))
+        .withColumn(out_col, F.last("_rp", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
-        .select(*[F.col(f"_l_{c}").alias(c) for c in lcols], "asof")
+        .select(*[F.col(f"_l_{c}").alias(c) for c in lcols], out_col)
     )

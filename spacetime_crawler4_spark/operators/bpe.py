@@ -94,6 +94,12 @@ def bpe_train(
             )
             .localCheckpoint(eager=True)
         )
+        if best.isEmpty():
+            # vocabulary exhausted before n_merges rounds (tiny corpus /
+            # every word fully merged): stop with the merges learned so
+            # far — continuing would crossJoin an empty `best` and
+            # silently empty `state` for every later rank
+            break
         out = best if out is None else out.unionByName(best)
         # ---- greedy apply ----
         st = nxt.crossJoin(
@@ -138,6 +144,12 @@ def bpe_train(
                 "sym",
             )
             .localCheckpoint(eager=True)
+        )
+    if out is None:
+        # empty corpus: no adjacent pairs at all — empty merge table
+        spark = docs.sparkSession
+        out = spark.createDataFrame(
+            [], "rank int, left string, right string, merged string, pair_count bigint"
         )
     merges = out.orderBy("rank")
     if return_state:

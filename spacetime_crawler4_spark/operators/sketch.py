@@ -78,8 +78,12 @@ def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
         .agg(F.max("rho").alias("r"))
     )
     alpha = _alpha(m)
+    # coalesce: an EMPTY input has zero register rows, so sum() is NULL —
+    # with s=0/nz=0 the raw estimate alpha*m²/m <= 2.5m routes to linear
+    # counting, which is exactly 0 (m*ln(m/m)); without the coalesce the
+    # whole estimate is NULL and downstream arithmetic (rel_err) breaks
     agg = regs.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("r"))), F.lit(0.0)).alias("s"),
         F.count("*").alias("nz"),
     )
     raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nz")))
@@ -108,7 +112,7 @@ regs AS (SELECT bucket,
                     ELSE {nbits} - length(bin(tail)) + 1
                     END) AS r
          FROM br GROUP BY bucket),
-agg AS (SELECT sum(power(2.0, -r)) AS s, count(*) AS nz FROM regs),
+agg AS (SELECT coalesce(sum(power(2.0, -r)), 0.0) AS s, count(*) AS nz FROM regs),
 -- every operand forced to DOUBLE: a bare decimal literal is DECIMAL in
 -- DuckDB (overflows at alpha*m*m and wouldn't mirror Spark's IEEE math)
 est AS (SELECT CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s + ({m} - nz)) AS raw,

@@ -2232,10 +2232,13 @@ def q_dedup_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = spark.createDataFrame(
         [(0.35,), (0.40,), (0.45,)], "thr double"
     )
+    # left join + count(cos), NOT inner + count(*): a threshold with zero
+    # exact pairs must still emit its row with n_exact=0, matching the
+    # oracle's scalar subquery (same shape as q_dedup_minhash_recall)
     n_exact = (
-        thr.join(exact, exact.cos >= thr.thr)
+        thr.join(exact, exact.cos >= thr.thr, "left")
         .groupBy("thr")
-        .agg(F.count("*").alias("n_exact"))
+        .agg(F.count(exact.cos).alias("n_exact"))
     )
     n_srp = (
         thr.join(srp, srp.cos >= thr.thr, "left")

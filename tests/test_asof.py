@@ -76,3 +76,21 @@ def test_asof_plan_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_rejects_colliding_left_columns(spark):
+    """A left frame already holding an `asof` (or reserved temp) column
+    must fail loudly up front, not produce a duplicate-name output
+    (ADVICE r3)."""
+    import pytest
+
+    from spacetime_crawler4_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k int, ts int, asof string")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, ts int, v double")
+    with pytest.raises(ValueError, match="asof"):
+        asof_join(left, right, "k", "ts", ["v"])
+    # renaming the output avoids the clash
+    out = asof_join(left, right, "k", "ts", ["v"], out_col="prior")
+    assert out.columns == ["k", "ts", "asof", "prior"]
+    assert out.collect()[0]["prior"]["v"] == 1.0

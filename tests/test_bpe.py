@@ -110,3 +110,19 @@ def test_bpe_apply_fertility(spark):
             state[w] = out
     want = sum(len(state[w]) * f for w, f in freqs.items())
     assert r.n_bpe_tokens == want
+
+
+def test_bpe_stops_when_vocabulary_exhausts(spark):
+    """A corpus whose every word fully merges before n_merges rounds must
+    stop with the merges learned so far, not silently empty the state
+    (ADVICE r3: empty `best` crossJoin poisoning)."""
+    from spacetime_crawler4_spark.operators.bpe import bpe_train, bpe_tokens_per_doc
+
+    docs = spark.createDataFrame([(1, "ab ab ab")], "doc_id int, text string")
+    # 'ab</w>' exhausts after 2 merges: (a,b) then (ab,</w>)
+    merges = bpe_train(docs, n_merges=10).collect()
+    assert 0 < len(merges) < 10
+    assert [m["rank"] for m in merges] == list(range(1, len(merges) + 1))
+    # and the apply path still tokenizes (1 token per word once merged)
+    out = bpe_tokens_per_doc(docs, n_merges=10).collect()
+    assert len(out) == 1

@@ -142,3 +142,13 @@ def test_cms_plan_one_shuffle_broadcast_probe(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    """Empty input: zero registers -> linear counting -> exactly 0, not
+    NULL (ADVICE r3: NULL sum over zero rows poisoned rel_err math)."""
+    from spacetime_crawler4_spark.operators.sketch import hll_estimate
+
+    empty = spark.createDataFrame([], "k string")
+    row = hll_estimate(empty, "k").collect()[0]
+    assert row["hll_estimate"] == 0
