@@ -165,3 +165,38 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in q_events_sessionize(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_seeds_frontier_df_bounded_fat_batch(spark, corpus_dir):
+    """A >10^4-seed batch becomes frontier rows with no driver list: the
+    seeds stay a DataFrame end to end (VERDICT r3 #8). Checks count,
+    urlhash twin-collapse, and sorted-url seq numbering."""
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4_spark.crawl.engine import CrawlEngine
+    from spacetime_crawler4_spark.crawl.schema import CrawlConfig, urlhash
+    from spacetime_crawler4_spark.sources.fixture import FIXTURE_WHITELIST
+
+    n = 20_000
+    seeds = spark.range(n).select(
+        F.format_string("http://www.example-a.test/p%07d", F.col("id")).alias("url")
+    )
+    # twins: https spellings of the first 100 collapse to the same urlhash
+    twins = spark.range(100).select(
+        F.format_string("https://www.example-a.test/p%07d", F.col("id")).alias("url")
+    )
+    eng = CrawlEngine(
+        spark,
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        seeds.unionByName(twins),
+        CrawlConfig(whitelist=FIXTURE_WHITELIST),
+    )
+    fr = eng.seeds_frontier_df(seeds.unionByName(twins))
+    rows = fr.orderBy("seq").collect()
+    assert len(rows) == n  # twins collapsed by urlhash
+    # http sorts before https, so the kept spelling is the http one
+    assert all(r["url"].startswith("http://") for r in rows[:100])
+    assert rows[0]["seq"] == "0000000" and rows[-1]["seq"] == f"{n - 1:07d}"
+    assert rows[0]["urlhash"] == urlhash(rows[0]["url"])
+    assert {r["domain"] for r in rows} == {"http://www.example-a.test"}
