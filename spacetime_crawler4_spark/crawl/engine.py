@@ -814,6 +814,27 @@ class CrawlEngine:
             if done is not None:
                 return done
         bits = self.cfg.simhash_bits
+        if bits <= 32 and self.cfg.simhash32_banded_max > 0:
+            # quadratic-cliff guard (schema.CrawlConfig.simhash32_banded_max):
+            # saturated 32-bit band buckets make the self-join candidate
+            # set near-quadratic; refuse rather than silently running it
+            idx_n = (
+                self._sim_index_rows
+                if self._sim_index_rows is not None
+                else self.sim_index.count()
+            )
+            total = (self._wave_n or 0) + idx_n
+            if total > self.cfg.simhash32_banded_max:
+                raise RuntimeError(
+                    f"simhash_bits=32 banded near-dup refused at wave "
+                    f"{self.wave_no}: wave+index = {total} rows > "
+                    f"simhash32_banded_max={self.cfg.simhash32_banded_max}. "
+                    f"A saturated 32-bit fingerprint makes this self-join "
+                    f"near-quadratic (BASELINE.md). Use simhash_bits=64 "
+                    f"(production plane, same LSH shape), raise "
+                    f"simhash_numpy_cap to keep the linear vectorized scan, "
+                    f"or set simhash32_banded_max=0 to override."
+                )
         cband = cand.select(
             "urlhash", "gen", "seq", "smhash",
             _bands(F.col("smhash"), bits=bits).alias("b"),

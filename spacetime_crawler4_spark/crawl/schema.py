@@ -169,6 +169,16 @@ class CrawlConfig:
     # saturates combinatorially on 32-bit fingerprints
     # (engine._simhash_stage_vectorized). 0 disables (always distributed).
     simhash_numpy_cap: int = 200_000
+    # quadratic-cliff guard (VERDICT r3 #5): a 32-bit fingerprint's band
+    # buckets saturate on large corpora (measured: 9.3% of ALL pairs
+    # collide at just 5k docs — dedup_simhash_bitwidth_density), so the
+    # banded self-join above this many rows (wave + master index) would
+    # materialize a near-quadratic candidate set. The engine REFUSES to
+    # run that plan and points at simhash_bits=64 (same plan shape, 3
+    # orders of magnitude fewer candidates) or a higher simhash_numpy_cap
+    # (the vectorized path is linear in wave x masters hashes). 0 disables
+    # the guard. Irrelevant at bits=64 — the guard never fires there.
+    simhash32_banded_max: int = 100_000
 
     def domain_budget(self, crawl_delay: float | None) -> int | None:
         if self.wave_seconds is None:

@@ -137,3 +137,42 @@ def test_seed_dedup_by_urlhash(spark, tmp_path):
     # first seed spelling wins
     assert rows[0]["url"] == f"http://{_TWIN_HOST}/"
     assert rows[0]["seq"] == "0000000"
+
+
+def test_simhash32_quadratic_guard_fires(spark, corpus_dir):
+    """bits=32 + banded fallback above simhash32_banded_max must refuse
+    with a message pointing at simhash_bits=64 (VERDICT r3 #5), and the
+    same corpus at bits=64 (or guard disabled) must run."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spacetime_crawler4_spark.crawl.engine import CrawlEngine
+    from spacetime_crawler4_spark.crawl.schema import CrawlConfig
+    from spacetime_crawler4_spark.sources.fixture import FIXTURE_WHITELIST
+
+    seeds = [
+        r["url"]
+        for r in sorted(
+            pq.read_table(f"{corpus_dir}/seeds.parquet").to_pylist(),
+            key=lambda r: r["seq"],
+        )
+    ]
+
+    def eng(**kw):
+        return CrawlEngine(
+            spark,
+            f"{corpus_dir}/pages.parquet",
+            f"{corpus_dir}/robots.parquet",
+            seeds,
+            CrawlConfig(whitelist=FIXTURE_WHITELIST, **kw),
+        )
+
+    # numpy path off + a threshold the fixture certainly exceeds -> refuse
+    with pytest.raises(RuntimeError, match="simhash_bits=64"):
+        eng(simhash_numpy_cap=0, simhash32_banded_max=1).run()
+
+    # identical corpus: guard disabled runs the banded 32-bit plan fine
+    f_off = eng(simhash_numpy_cap=0, simhash32_banded_max=0).run()
+    # and the production 64-bit plane is untouched by the guard
+    f_64 = eng(simhash_numpy_cap=0, simhash_bits=64, simhash32_banded_max=1).run()
+    assert f_off.count() > 0 and f_64.count() > 0
