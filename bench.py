@@ -69,6 +69,7 @@ HEADLINE = [
     "events_asof",
     "decontam_report",
     "pipeline_admission",
+    "graph_pagerank",
     "dedup_substring_removal",
     "sketch_cms_heavy_hitters",
     "text_unigram_ppx",

@@ -204,8 +204,16 @@ def minhash_lsh_pairs(
     only recall depends on (k, r). Scale: the self-join touches only
     colliding (band_id, bsig) buckets, and the exact-Jaccard verify runs
     ONLY on candidate pairs (shingles joined through the candidate list),
-    never on the full co-occurrence graph."""
-    bands = minhash_band_sigs(sh, k, r)
+    never on the full co-occurrence graph.
+
+    The shingle frame is consumed FIVE times in this plan (both band
+    self-join sides, the size aggregate, both verify sides), so it and
+    the band signatures are materialized once up front (VERDICT r3 #6:
+    the composed admission pipeline was recomputing the explode+minhash
+    stage per reference). On a cluster this is persist(DISK_ONLY) or a
+    staging table; the re-evaluation it avoids grows with corpus size."""
+    sh = sh.localCheckpoint(eager=True)
+    bands = minhash_band_sigs(sh, k, r).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

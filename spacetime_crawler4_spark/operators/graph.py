@@ -42,34 +42,58 @@ def pagerank(
     where dangling = sum of r over nodes with no out-edges.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # LOOP-INVARIANT frames are materialized ONCE (VERDICT r3 #4: the
+    # un-checkpointed lineage re-ran the whole edge prep — scan, distinct,
+    # outdeg join — inside every iteration's checkpoint job AND in each
+    # setup action, ~5x the cost of the iterations themselves). One
+    # edge-prep run total: `we` checkpoints first, and nodes/flags derive
+    # from the CHECKPOINTED we (the inner join keeps every edge, so we
+    # carries the same src/dst universe as e). At real cluster scale this
+    # is a persist() to storage + bucketing on src so every iteration
+    # reuses one exchange.
+    we = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        we.select(F.col("src").alias("id"))
+        .unionByName(we.select(F.col("dst").alias("id")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # weighted edges: 1/outdeg folded in once, reused every iteration
-    we = e.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    # dangling flag folded INTO the rank vector: the per-iteration
+    # left_anti probe against has_out becomes a plain filter-aggregate
+    # over the already-checkpointed ranks — one broadcast fewer per step
+    flagged = (
+        nodes.join(
+            we.select(F.col("src").alias("id")).distinct().withColumn(
+                "has_out", F.lit(True)
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        .localCheckpoint(eager=True)
     )
-    n = nodes.count()
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
-    has_out = outdeg.select(F.col("src").alias("id")).distinct()
+    n = flagged.count()
+    ranks = flagged.select("id", "has_out", F.lit(1.0 / n).alias("r"))
     for _ in range(iterations):
-        dangling = (
-            ranks.join(has_out, "id", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        dangling = ranks.filter(~F.col("has_out")).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang")
         )
         contrib = (
-            we.join(ranks.withColumnRenamed("id", "src"), "src")
+            we.join(ranks.select(F.col("id").alias("src"), "r"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("w") * F.col("r")).alias("acc"))
         )
         ranks = (
-            nodes.join(contrib, "id", "left")
+            ranks.select("id", "has_out")
+            .join(contrib, "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
+                "has_out",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -79,11 +103,11 @@ def pagerank(
                     )
                 ).alias("r"),
             )
-            # rank vector is consumed twice next iteration (dangling +
-            # contrib) — truncate lineage so the analyzed plan stays
-            # constant-depth instead of doubling per iteration (the
-            # un-truncated 5-iteration explain was 36k lines; HITS with
-            # one more reference per step outright hung Catalyst)
+            # rank vector is consumed three times next iteration (dangling
+            # + contrib + node base) — truncate lineage so the analyzed
+            # plan stays constant-depth instead of doubling per iteration
+            # (the un-truncated 5-iteration explain was 36k lines; HITS
+            # with one more reference per step outright hung Catalyst)
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.col("r").alias("rank"))
@@ -115,11 +139,17 @@ def hits(
     every iteration's plan constant-depth; on a real cluster use
     ``checkpoint`` to reliable storage for fault tolerance instead.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # loop-invariant edge list + node set materialize ONCE (same VERDICT
+    # r3 #4 fix as pagerank: un-checkpointed lineage re-ran the edge prep
+    # inside every half-step's broadcast AND checkpoint job)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     auth = nodes.select("id", F.lit(1.0 / n).alias("a"))
