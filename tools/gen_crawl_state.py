@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Materialize the committed crawl-state fixture (VERDICT r3 #7).
+
+Runs the deterministic fixture crawl (sources/fixture.py, seed=42) to
+quiescence and writes the final frontier's SCALAR columns — sorted by
+(gen, seq) and written via pyarrow as one file — to
+spacetime_crawler4_spark/resources/crawl_state/frontier.parquet.
+
+That parquet is committed test data: the registry's crawl_state_*
+queries (and their DuckDB oracles) read it, giving the driver's
+correctness harness green rows over REAL crawl-engine output (robots
+gate, depth sift, status/redirect/length filters, dedup verdicts,
+politeness domains) instead of only the local test suite.
+tests/test_crawl_state_queries.py re-crawls and asserts the committed
+file still matches the engine, so the fixture cannot drift.
+
+Usage: python tools/gen_crawl_state.py  (rewrites the committed parquet)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "spacetime_crawler4_spark"
+    / "resources"
+    / "crawl_state"
+    / "frontier.parquet"
+)
+
+
+def crawl_state_table(spark, corpus_dir: str):
+    """The fixture crawl's final frontier as a pyarrow table of scalar
+    columns (maps/arrays dropped; words/links kept as counts), sorted by
+    (gen, seq) for byte-stable output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4_spark.crawl.engine import CrawlEngine
+    from spacetime_crawler4_spark.crawl.schema import CrawlConfig
+    from spacetime_crawler4_spark.sources.fixture import (
+        FIXTURE_WHITELIST,
+        SEED_URLS,
+    )
+
+    eng = CrawlEngine(
+        spark,
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        list(SEED_URLS),
+        CrawlConfig(whitelist=FIXTURE_WHITELIST),
+    )
+    frontier = eng.run()
+    rows = (
+        frontier.select(
+            "urlhash",
+            "url",
+            "parent",
+            "status",
+            "finish",
+            "absdepth",
+            "reldepth",
+            "monodepth",
+            "dupdepth",
+            F.size(F.map_keys(F.coalesce("words", F.create_map()))).alias(
+                "n_words"
+            ),
+            F.size(F.coalesce("links", F.array())).alias("n_links"),
+            "exhash",
+            "smhash",
+            "gen",
+            "seq",
+            "domain",
+            "retries",
+        )
+        .orderBy("gen", "seq")
+        .collect()
+    )
+    cols = rows[0].asDict().keys() if rows else []
+    return pa.table({c: [r[c] for r in rows] for c in cols})
+
+
+def main() -> None:
+    import pyarrow.parquet as pq
+
+    from spacetime_crawler4_spark.session import get_spark
+    from spacetime_crawler4_spark.sources.fixture import write_corpus
+
+    spark = get_spark(
+        "gen-crawl-state",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory() as td:
+        write_corpus(td)
+        tbl = crawl_state_table(spark, td)
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, OUT, compression="zstd")
+    print(f"wrote {OUT} rows={tbl.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
