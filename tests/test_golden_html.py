@@ -13,6 +13,8 @@ circular, extractor vs its own fixtures):
    helpers/parser.py:139-163 and compared byte-for-byte.
 """
 
+import os
+
 import pytest
 
 from spacetime_crawler4_spark.functions.htmltext import extract_page
@@ -111,3 +113,104 @@ def test_extractor_never_raises_and_honors_contract(payload):
     again = extract_page("http://f.test/a/b.html", payload)
     assert again.text_fragments == got.text_fragments
     assert again.links == got.links
+
+
+# ---------------------------------------------------------------------------
+# independent-implementation differential (VERDICT r3 #3): the production
+# extractor (stdlib html.parser based) vs functions/htmltext_oracle.py (a
+# from-scratch state-machine tokenizer implementing the same documented
+# libxml2/bs4 spec, sharing no parsing code). Byte-identical fragments and
+# links over the golden vectors, the whole fixture corpus, and randomized
+# structured HTML. Two independent implementations agreeing is the
+# strongest in-sandbox parity evidence; wherever bs4+lxml exist, the tests
+# above check both against the real stack, and a committed capture from
+# tools/capture_bs4_golden.py is verified below when present.
+# ---------------------------------------------------------------------------
+
+from spacetime_crawler4_spark.functions.htmltext import _decode_html
+from spacetime_crawler4_spark.functions.htmltext_oracle import oracle_extract
+
+
+@pytest.mark.parametrize("name,url,html,_f,_l", VECTORS, ids=[v[0] for v in VECTORS])
+def test_independent_impl_agrees_on_vectors(name, url, html, _f, _l):
+    prod = extract_page(url, html)
+    links, frags = oracle_extract(url, _decode_html(html))
+    assert prod.text_fragments == frags
+    assert prod.links == links
+
+
+def test_independent_impl_agrees_on_fixture_corpus(corpus_dir):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{corpus_dir}/pages.parquet", columns=["url", "html", "content_type"]
+    ).to_pylist()
+    checked = 0
+    for r in tbl:
+        if r["html"] is None or "html" not in (r["content_type"] or ""):
+            continue
+        prod = extract_page(r["url"], r["html"], r["content_type"])
+        links, frags = oracle_extract(r["url"], _decode_html(r["html"]))
+        assert prod.text_fragments == frags, r["url"]
+        assert prod.links == links, r["url"]
+        checked += 1
+    assert checked > 100
+
+
+_structured_html = st.recursive(
+    st.text(
+        alphabet="ab c&;#<x1é .,!amp lt star eacute 09",
+        min_size=0,
+        max_size=30,
+    ),
+    lambda inner: st.one_of(
+        st.tuples(
+            st.sampled_from(
+                ["p", "div", "a", "span", "b", "title", "template", "br", "img"]
+            ),
+            inner,
+        ).map(
+            lambda t: (
+                f'<{t[0]} href="/l{hash(t[1]) % 7}">{t[1]}</{t[0]}>'
+                if t[0] == "a"
+                else f"<{t[0]}>{t[1]}</{t[0]}>"
+            )
+        ),
+        st.tuples(inner, inner).map(lambda t: t[0] + t[1]),
+        inner.map(lambda s: f"<!-- {s.replace('-', '')} -->"),
+        inner.map(lambda s: f"<script>var x = '{s}';</script>"),
+        inner.map(lambda s: f"<style>.c {{ content: '{s}' }}</style>"),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_structured_html)
+def test_independent_impl_agrees_on_random_structured_html(doc):
+    payload = doc.encode("utf-8")
+    prod = extract_page("http://f.test/a/b.html", payload)
+    links, frags = oracle_extract("http://f.test/a/b.html", _decode_html(payload))
+    assert prod.text_fragments == frags, doc
+    assert prod.links == links, doc
+
+
+_CAPTURE = os.path.join(os.path.dirname(__file__), "bs4_golden_capture.json")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_CAPTURE),
+    reason="no committed bs4+lxml capture (generate with tools/capture_bs4_golden.py "
+    "in an environment where bs4+lxml are installed)",
+)
+def test_vectors_match_committed_real_stack_capture():
+    import json
+
+    with open(_CAPTURE) as f:
+        cap = json.load(f)
+    by_name = {v[0]: v for v in VECTORS}
+    for name, rec in cap["vectors"].items():
+        _n, url, html, _f, _l = by_name[name]
+        got = extract_page(url, html)
+        assert got.text_fragments == rec["fragments"], name
+        assert got.links == rec["links"], name
