@@ -59,9 +59,17 @@ class CuckooFilter:
     table: np.ndarray  # uint16 [nbuckets, SLOTS]; 0 = empty
 
     @classmethod
-    def with_capacity(cls, n: int) -> CuckooFilter:
+    def with_capacity(cls, n: int, load: float = 0.5) -> CuckooFilter:
+        """Size for ``n`` keys at ``load`` design occupancy. Fan et al.
+        run b=4 tables to 0.95 load for space-optimality; the default
+        here is 0.5 because our tables are BUILD-bound, not space-bound
+        (a broadcast seen-filter is KBs either way, and every key whose
+        two buckets fill under contention falls off the vectorized bulk
+        path into the per-key eviction walk — at 0.76 measured load that
+        walk was 85% of the build wall). Pass load=0.95 to trade build
+        time back for space."""
         nbuckets = 1
-        while nbuckets * SLOTS * 0.95 < max(n, 16):
+        while nbuckets * SLOTS * load < max(n, 16):
             nbuckets <<= 1
         return cls(np.zeros((nbuckets, SLOTS), dtype=np.uint16))
 
@@ -99,17 +107,45 @@ class CuckooFilter:
                 return
         raise RuntimeError("cuckoo filter over capacity")
 
+    def _bulk_pass(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized slot placement: write each (bucket, fp) into its
+        bucket's next free slot, honoring within-batch contention (two
+        keys aiming at one bucket consume two slots). Returns the boolean
+        mask of keys that did NOT fit this pass."""
+        if len(buckets) == 0:
+            return np.zeros(0, dtype=bool)
+        fill = (self.table != 0).sum(axis=1).astype(np.int64)
+        order = np.argsort(buckets, kind="stable")
+        sb = buckets[order]
+        # rank of each key within its bucket run (0,1,2,... per bucket)
+        starts = np.r_[0, np.nonzero(np.diff(sb))[0] + 1]
+        rank = np.arange(len(sb)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(sb)])
+        )
+        slot = fill[sb] + rank
+        ok = slot < SLOTS
+        self.table[sb[ok], slot[ok]] = fps[order][ok]
+        rejected = np.zeros(len(buckets), dtype=bool)
+        rejected[order[~ok]] = True
+        return rejected
+
     def insert_many(self, keys: np.ndarray) -> None:
+        """Bulk insert, numpy-vectorized: one grouped pass on i1, one on
+        i2 for the spill, then the per-key eviction loop ONLY for keys
+        whose both buckets are full (rare below the 95% design load).
+        The per-key python loop this replaces priced the distributed
+        shard build at ~140 µs/key — the whole cuckoo seen-filter crawl
+        was build-bound on it (BASELINE.md round-4 notes)."""
+        keys = keys.astype(np.int64, copy=False)
         fps = _fingerprints(keys)
         i1s = _index1(keys, self.nbuckets)
-        for j in range(len(keys)):
-            k, fp, i1 = int(keys[j]), int(fps[j]), int(i1s[j])
-            i2 = int(
-                _index2(np.array([i1]), np.array([fp], dtype=np.uint16), self.nbuckets)[0]
-            )
-            if self._try_put(i1, fp) or self._try_put(i2, fp):
-                continue
-            self.insert(k)  # eviction path
+        rej1 = self._bulk_pass(i1s, fps)
+        if rej1.any():
+            i2s = _index2(i1s[rej1], fps[rej1], self.nbuckets)
+            rej2 = self._bulk_pass(i2s, fps[rej1])
+            if rej2.any():
+                for k in keys[rej1][rej2]:
+                    self.insert(int(k))  # eviction path
 
     def delete(self, key: int) -> bool:
         """Remove one copy of the key's fingerprint; True if found —
