@@ -282,12 +282,25 @@ def run_neardup_paths(spark) -> dict:
 
 
 def run_seen_filters(spark) -> dict:
-    """bloom-vs-cuckoo probe cost on the full bench corpus (the main crawl
-    section is bloom; this adds the measured cuckoo number — VERDICT r2
-    next-round #8)."""
-    stats, _ = _crawl_once(spark, BENCH_CORPUS, {"seen_filter": "cuckoo"})
-    stats.pop("too_similar", None)
-    return {"cuckoo": stats}
+    """Seen-set probe cost, all three modes on the full bench corpus.
+
+    ROUND-4 CORRECTION: earlier rounds passed seen_filter='cuckoo'
+    WITHOUT setting seen_bloom_fpp, and the engine's sketch prefilter
+    only engages when fpp is set — so the recorded 'cuckoo' numbers in
+    BENCH_r2/r3 were plain anti-join runs and their spread (36-86 s on
+    one corpus) was pure host noise, not filter cost. This section now
+    sets fpp=0.01 so bloom and cuckoo actually build+probe, alongside
+    the plain anti-join default the main crawl section uses."""
+    out = {}
+    for name, kwargs in (
+        ("anti_join", {}),
+        ("bloom", {"seen_bloom_fpp": 0.01}),
+        ("cuckoo", {"seen_bloom_fpp": 0.01, "seen_filter": "cuckoo"}),
+    ):
+        stats, _ = _crawl_once(spark, BENCH_CORPUS, kwargs)
+        stats.pop("too_similar", None)
+        out[name] = stats
+    return out
 
 
 def _pure_python_control(procs: int) -> float:

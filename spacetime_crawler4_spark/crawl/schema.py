@@ -147,7 +147,10 @@ class CrawlConfig:
     # J1 / north rule): rebuilt per wave from the frontier, keyed on
     # xxhash64(canonical url). None disables (exact anti-join only —
     # results are identical either way; the bloom only prunes probe rows).
-    seen_bloom_fpp: float | None = None
+    # Default ON since round 4: the measured bench-corpus crawl is ~1.4x
+    # faster with the prefilter (anti_join 51 s vs bloom 35 s), and the
+    # north rule names the broadcast bloom seen-set explicitly.
+    seen_bloom_fpp: float | None = 0.01
     # seen-set prefilter kind when seen_bloom_fpp is set: "bloom" (JVM
     # sketch, OR-merged distributed build) or "cuckoo" (sharded numpy
     # filter, per-shard executor build, deletion-capable — the north
