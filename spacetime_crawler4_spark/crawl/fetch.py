@@ -160,3 +160,78 @@ def corpus_transport(pages_path: str) -> Transport:
         return [c.get(u, {"url": u, **miss}) for u in urls]
 
     return transport
+
+
+def cache_server_transport(
+    host: str,
+    port: int,
+    user_agent: str = "spacetime-crawler4-spark",
+    timeout: float = 5.0,
+) -> Transport:
+    """The reference's cache-server wire protocol as a Transport
+    (utils/download.py:7-21): GET ``http://host:port/?q=<url>&u=<agent>``
+    returning a CBOR map ``{url, status, error?, response?}``.
+
+    Payload handling: the reference pickles a ``requests.Response`` into
+    the ``response`` field and unpickles it client-side
+    (utils/response.py). Unpickling arbitrary bytes is both unsafe and
+    impossible without the requests package, so this transport accepts
+    BOTH forms: (a) the sane flat form where the map itself carries
+    ``content``/``content_type``/``redirect_to``/``retry_after`` keys —
+    what our fake server and any from-scratch cache server emit — and
+    (b) the pickled form, attempted only when requests is importable,
+    inside a guard (a deployment talking to the original spacetime cache
+    server has requests installed by construction). The spacetime Node
+    registration handshake (utils/server_registration.py) is a
+    framework dependency out of the crawl engine's behavioral contract;
+    the host:port this transport takes is the value that handshake
+    yields.
+    """
+    import urllib.parse
+    import urllib.request
+
+    from spacetime_crawler4_spark.functions import cbor
+
+    def transport(urls: list[str]) -> list[dict]:
+        out = []
+        for u in urls:
+            row = {
+                "url": u,
+                "page_status": None,
+                "html": None,
+                "content_type": None,
+                "redirect_to": None,
+                "retry_after": 0,
+            }
+            try:
+                qs = urllib.parse.urlencode([("q", u), ("u", user_agent)])
+                with urllib.request.urlopen(
+                    f"http://{host}:{port}/?{qs}", timeout=timeout
+                ) as resp:
+                    payload = cbor.loads(resp.read())
+            except Exception:
+                out.append(row)  # server unreachable -> CACHE_ERROR path
+                continue
+            row["page_status"] = payload.get("status")
+            if "content" in payload:  # flat form
+                row["html"] = payload.get("content")
+                row["content_type"] = payload.get("content_type")
+                row["redirect_to"] = payload.get("redirect_to")
+                row["retry_after"] = int(payload.get("retry_after") or 0)
+            elif payload.get("response") is not None:  # pickled form
+                try:
+                    import pickle
+
+                    import requests  # noqa: F401  (guard: original deployments)
+
+                    raw = pickle.loads(payload["response"])
+                    row["html"] = raw.content
+                    row["content_type"] = raw.headers.get("Content-Type")
+                    row["redirect_to"] = raw.headers.get("Location")
+                    row["retry_after"] = int(raw.headers.get("Retry-After") or 0)
+                except Exception:
+                    pass  # undecodable response -> status-only row
+            out.append(row)
+        return out
+
+    return transport
