@@ -1859,11 +1859,18 @@ GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
 
 import os as _os
 
-_CRAWL_STATE_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.abspath(__file__)),
-    "resources",
-    "crawl_state",
-    "frontier.parquet",
+# __file__-relative on a normal install; under a spark-submit --py-files
+# ZIP import the package path is inside the archive where spark.read
+# cannot list files, so deployments ship the fixture alongside the job
+# and point this env var at it.
+_CRAWL_STATE_PARQUET = _os.environ.get(
+    "SPARK_GRAFT_CRAWL_STATE",
+    _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "resources",
+        "crawl_state",
+        "frontier.parquet",
+    ),
 )
 
 
