@@ -266,3 +266,64 @@ def build_warc(records: list[dict]) -> bytes:
         ).encode()
         out += head + payload + _CRLF + _CRLF
     return bytes(out)
+
+
+def write_warc_dir(
+    pages: DataFrame,
+    out_dir: str,
+    http_status_col: str = "status",
+) -> int:
+    """Archive a pages frame (url, warc_ts, html[, status]) as a WARC
+    directory — the sink side of this connector: one ``part-NNNNN.warc``
+    per partition, written inside ``mapInPandas`` (the standard
+    embarrassingly-parallel archive layout: each output file is an
+    independent unit of future read parallelism, like Common Crawl's
+    segment files). Returns the number of records written.
+
+    Determinism note: record order inside a part follows partition row
+    order and part assignment follows the input partitioning — stable
+    given a stable upstream sort+repartition, which the caller owns.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["url", "warc_ts", "html"] + (
+        [http_status_col] if http_status_col in pages.columns else []
+    )
+
+    def _write(batches):
+        import uuid
+
+        recs = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                ts = d.get("warc_ts")
+                recs.append(
+                    {
+                        "type": "response",
+                        "uri": d["url"],
+                        "date": (
+                            ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                            if ts is not None
+                            else "1970-01-01T00:00:00Z"
+                        ),
+                        "payload": bytes(d["html"] or b""),
+                        "http_status": int(d.get(http_status_col) or 200),
+                    }
+                )
+        if recs:
+            # one file per task; uuid4 in the name mirrors Spark's own
+            # task-output naming (no two tasks collide, retries overwrite
+            # nothing — the driver-side count is the commit signal)
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")
+            with open(path, "wb") as f:
+                f.write(build_warc(recs))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    schema = StructType([StructField("n", IntegerType())])
+    counts = pages.select(*cols).mapInPandas(_write, schema=schema).collect()
+    return int(sum(r["n"] for r in counts))

@@ -125,3 +125,31 @@ def test_warc_pages_feed_the_text_plane(spark, tmp_path):
         "http://w.test/a", b"<html><body>Alpha &amp; beta</body></html>"
     )
     assert feat[0]["f"]["text"] == exp.text == "Alpha & beta"
+
+
+def test_warc_sink_roundtrip(spark, tmp_path):
+    """pages -> write_warc_dir -> warc_pages reads back byte-identical
+    html for every archived url (the archive sink closes the loop)."""
+    import datetime
+
+    src = spark.createDataFrame(
+        [
+            (f"http://w.test/p{i}", datetime.datetime(2024, 3, 1, 10, 0, i),
+             f"<html><body>doc {i}</body></html>".encode(), 200)
+            for i in range(25)
+        ],
+        "url string, warc_ts timestamp, html binary, status int",
+    ).repartition(4)
+    out = tmp_path / "archive"
+    from spacetime_crawler4_spark.sources.warc import warc_pages, write_warc_dir
+
+    n = write_warc_dir(src, str(out))
+    assert n == 25
+    assert 1 <= len(list(out.glob("part-*.warc"))) <= 4
+    back = {r["url"]: r for r in warc_pages(spark, str(out)).collect()}
+    assert len(back) == 25
+    for i in range(25):
+        u = f"http://w.test/p{i}"
+        assert back[u]["html"] == f"<html><body>doc {i}</body></html>".encode()
+        assert back[u]["status"] == 200
+        assert back[u]["warc_ts"].second == i
