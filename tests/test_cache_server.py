@@ -121,3 +121,36 @@ def test_cbor_rejects_what_it_does_not_speak():
         cbor.loads(bytes.fromhex("c074"))  # tag 0
     with pytest.raises(ValueError):
         cbor.loads(cbor.dumps({"a": 1})[:-1])  # truncated
+
+
+# ---------------------------------------------------------------------------
+# property: cbor roundtrip over arbitrary nested payloads of the supported
+# type universe — any server payload the transport can see must survive
+# encode/decode bit-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False),
+    st.binary(max_size=64),
+    st.text(max_size=64),
+)
+_payloads = st.recursive(
+    _scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=6),
+        st.dictionaries(st.text(max_size=12), inner, max_size=6),
+    ),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_payloads)
+def test_cbor_roundtrip_property(v):
+    assert cbor.loads(cbor.dumps(v)) == v

@@ -153,3 +153,34 @@ def test_warc_sink_roundtrip(spark, tmp_path):
         assert back[u]["html"] == f"<html><body>doc {i}</body></html>".encode()
         assert back[u]["status"] == 200
         assert back[u]["warc_ts"].second == i
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abc/:.-", min_size=1, max_size=30),
+                  st.binary(max_size=200),
+                  st.integers(min_value=100, max_value=606)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_warc_roundtrip_property(recs):
+    """Arbitrary payload bytes (including CRLFs and 'WARC/' lookalikes
+    inside bodies) survive the length-prefixed framing exactly."""
+    records = [
+        {"type": "response", "uri": f"http://t.test/{i}-{u}",
+         "payload": body, "http_status": status}
+        for i, (u, body, status) in enumerate(recs)
+    ]
+    got = list(split_warc_records(build_warc(records)))
+    assert len(got) == len(records)
+    for (hdr, payload), rec in zip(got, records):
+        assert hdr["warc-target-uri"] == rec["uri"]
+        status, _ct, body = parse_http_response(payload)
+        assert status == rec["http_status"]
+        assert body == rec["payload"]
