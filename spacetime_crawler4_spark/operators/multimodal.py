@@ -18,12 +18,19 @@ Two tiers of decode (round 2):
   handcrafted-byte tests AND encode→decode roundtrip queries whose
   DuckDB oracles recompute the features straight from the source bytes
   (queries.py).
-- STUB for formats whose codecs genuinely aren't in this sandbox
-  (png/video — zlib-inflate and interframe codecs are out of scope):
-  ``decode_image_stub`` derives deterministic fake dimensions;
+- REAL codec #4 (round 4): 8-bit **PNG** (``decode_png``: signature +
+  chunk walk with CRC verification, IDAT concatenation, stdlib-zlib
+  inflate, scanline unfiltering for all five filter types incl. the
+  Paeth predictor, gray / gray+alpha / RGB / RGBA color types) and
+  REAL **AVI container metadata** (``parse_avi_meta``: RIFF walk to
+  the ``hdrl``/``avih`` main header — frame count, dimensions, fps)
+  feeding the ``frame_sample_plan`` explode.
+- STUB only for interframe video DECODE (no codec libs in this
+  sandbox): ``decode_image_stub`` remains as the documented
+  deterministic fake used by ``extract_media_meta``'s plumbing check;
   everything around it — schema, batch iteration, partitioning-safe
-  signatures — is real, and swapping in Pillow/ffmpeg is a one-function
-  change.
+  signatures — is real, and swapping in Pillow/ffmpeg is a
+  one-function change.
 """
 
 from __future__ import annotations
@@ -535,6 +542,287 @@ def decode_jpeg_gray(payload: bytes):
     return int(width), int(height), img[:height, :width]
 
 
+# ---------------------------------------------------------------------------
+# REAL codec #4 (round 4): 8-bit PNG. Unlike BMP/WAV/JPEG the compressed
+# stream needs an inflate, which the Python stdlib provides (zlib) — so the
+# full decode path is real: chunk walk (lengths + CRC32 verification), IDAT
+# concatenation across chunks, zlib inflate, and per-scanline unfiltering of
+# all five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6). The
+# encoder can emit ANY per-row filter plan, so tests and the roundtrip
+# query's oracle exercise every unfilter branch, not just filter 0.
+# Supported: bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+# 6 (RGBA), no interlace — the shapes a crawler actually meets are mostly
+# here; interlace/16-bit raise and land in kind='unknown'.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, width: int, height: int, color_type: int = 2, filters=None) -> bytes:
+    """8-bit PNG encoder with an explicit per-row filter plan.
+
+    ``pixels``: top-down bytes, ``width * channels`` per row. ``filters``:
+    per-row filter types (defaults to all 0); the encoder computes the
+    filtered residuals for real, so a decoder must implement every chosen
+    filter to get the pixels back — which is exactly what the roundtrip
+    tests rely on."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    row = width * ch
+    raw = bytes(pixels)
+    if len(raw) != row * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    plan = list(filters) if filters is not None else [0] * height
+    if len(plan) != height:
+        raise ValueError("filter plan must have one entry per row")
+    out = bytearray()
+    prior = bytes(row)
+    for y in range(height):
+        line = raw[y * row : (y + 1) * row]
+        f = plan[y]
+        out.append(f)
+        if f == 0:
+            out += line
+        else:
+            for x in range(row):
+                a = line[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    pred = _paeth(a, b, c)
+                else:
+                    raise ValueError(f"unknown filter type {f}")
+                out.append((line[x] - pred) & 0xFF)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """(width, height, channels, pixels uint8 [h, w, ch]) from an 8-bit PNG.
+
+    Real decode: signature check, chunk walk with CRC32 verification, IDAT
+    concatenation, zlib inflate, and scanline unfiltering of all five
+    filter types (the Paeth branch handles the first-column and first-row
+    edge cases per RFC 2083)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    color_type = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated chunk")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[color_type]
+    row = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (row + 1) * height:
+        raise ValueError("inflated scanline data has wrong length")
+    img = np.empty((height, row), dtype=np.uint8)
+    prior = bytes(row)
+    for y in range(height):
+        f = raw[y * (row + 1)]
+        line = bytearray(raw[y * (row + 1) + 1 : (y + 1) * (row + 1)])
+        if f == 1:  # Sub
+            for x in range(ch, row):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(row):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(row):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + (a + prior[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(row):
+                a = line[x - ch] if x >= ch else 0
+                c = prior[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(a, prior[x], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown filter type {f}")
+        img[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prior = bytes(line)
+    return int(width), int(height), ch, img.reshape(height, width, ch)
+
+
+# ---------------------------------------------------------------------------
+# REAL video-container metadata (round 4): AVI main header. Interframe
+# DECODE stays out of scope (no codec libs here, honestly), but the
+# container walk is real: RIFF size framing, LIST recursion to hdrl, and
+# the 56-byte avih main header — which is all a frame-sampling planner
+# needs (total frames, dimensions, frame period).
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_header(
+    n_frames: int, width: int, height: int, us_per_frame: int = 33333
+) -> bytes:
+    """Minimal structurally-valid RIFF/AVI prefix: the hdrl LIST with a
+    real 56-byte avih main header (no movi payload — metadata tier)."""
+    import struct
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame,  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags (AVIF_HASINDEX)
+        n_frames,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        0,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    hdrl = b"hdrl" + struct.pack("<4sI", b"avih", len(avih)) + avih
+    body = b"AVI " + struct.pack("<4sI", b"LIST", len(hdrl)) + hdrl
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def parse_avi_meta(payload: bytes) -> tuple[int, int, int, float]:
+    """(n_frames, width, height, fps) from an AVI's avih main header.
+
+    Walks the RIFF chunk list for real (word-aligned sizes, LIST
+    recursion into hdrl) — truncated or non-AVI payloads raise."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cid, sz = struct.unpack_from("<4sI", payload, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = payload[body_start : body_start + 4]
+                if ltype == b"hdrl":
+                    found = walk(body_start + 4, body_start + sz)
+                    if found is not None:
+                        return found
+            elif cid == b"avih":
+                return payload[body_start : body_start + sz]
+            pos = body_start + sz + (sz & 1)
+        return None
+
+    avih = walk(12, len(payload))
+    if avih is None or len(avih) < 40:
+        raise ValueError("missing avih header")
+    us_per_frame, _, _, _, n_frames = struct.unpack_from("<IIIII", avih, 0)
+    width, height = struct.unpack_from("<II", avih, 32)
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+    return int(n_frames), int(width), int(height), float(fps)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", DoubleType()),
+    ]
+)
+
+
+def extract_video_meta(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas REAL container-metadata stage for video rows: walk each
+    AVI's RIFF structure to the avih main header (parse_avi_meta) and emit
+    (n_frames, width, height, fps) — the inputs ``frame_sample_plan``
+    needs. Narrow (partition-preserving); non-AVI payloads yield nulls."""
+
+    id_src, payload_src = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_src], pdf[payload_src]):
+                try:
+                    n, w, h, fps = parse_avi_meta(p or b"")
+                    rows.append(
+                        {"media_id": int(mid), "n_frames": n, "width": w,
+                         "height": h, "fps": fps}
+                    )
+                except Exception:
+                    rows.append(
+                        {"media_id": int(mid), "n_frames": None, "width": None,
+                         "height": None, "fps": None}
+                    )
+            out = pd.DataFrame(rows)
+            for c in ("n_frames", "width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, VIDEO_META_SCHEMA
+    )
+
+
 MEDIA_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -555,9 +843,10 @@ def extract_media_features(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
     """mapInPandas REAL-decode stage: dispatch on magic bytes (BM -> BMP,
-    RIFF..WAVE -> WAV), decode with the numpy codecs above, emit typed
-    per-kind features (unused columns null). Unknown formats yield
-    kind='unknown' with nulls — a crawler-grade decoder never throws."""
+    RIFF..WAVE -> WAV, FFD8 -> JPEG, PNG signature -> PNG), decode with
+    the stdlib+numpy codecs above, emit typed per-kind features (unused
+    columns null). Unknown formats yield kind='unknown' with nulls — a
+    crawler-grade decoder never throws."""
 
     id_src, payload_src = id_col, payload_col
 
@@ -596,6 +885,17 @@ def extract_media_features(
                         row.update(  # grayscale: one luma mean on all three
                             kind="jpeg", width=w_, height=h_,
                             mean_b=m, mean_g=m, mean_r=m,
+                        )
+                    elif p[: len(_PNG_SIG)] == _PNG_SIG:
+                        w_, h_, ch, px = decode_png(p)
+                        f64 = px.astype("float64")
+                        if ch >= 3:  # RGB/RGBA: per-channel means (R,G,B)
+                            mr, mg, mb = (float(f64[:, :, i].mean()) for i in range(3))
+                        else:  # gray / gray+alpha: luma mean on all three
+                            mr = mg = mb = float(f64[:, :, 0].mean())
+                        row.update(
+                            kind="png", width=w_, height=h_,
+                            mean_b=mb, mean_g=mg, mean_r=mr,
                         )
                 except Exception:  # malformed/truncated container:
                     pass  # kind stays 'unknown' — decoders never throw

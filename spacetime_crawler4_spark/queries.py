@@ -2099,6 +2099,163 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec end-to-end (round 4 — retires the png stub): build a
+    10×10 RGB PNG whose pixel bytes are the document's text bytes (modular
+    indexing) with the per-row filter type CYCLING through all five PNG
+    filters (None/Sub/Up/Average/Paeth), zlib-deflate it, then DECODE with
+    the chunk-walking stdlib-zlib parser and emit per-channel means. PNG
+    filtering is lossless, so the oracle recomputes the identical means
+    straight from the character codes — any unfilter bug (Paeth ties,
+    first-column/first-row edges, CRC handling) breaks the hash match."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from spacetime_crawler4_spark.operators.multimodal import (
+        encode_png,
+        extract_media_features,
+    )
+
+    @pandas_udf(BinaryType())
+    def png_payload(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            b = (t or "?").encode("utf-8")
+            pix = bytes(b[j % len(b)] for j in range(300))
+            out.append(
+                encode_png(pix, 10, 10, color_type=2, filters=[y % 5 for y in range(10)])
+            )
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), png_payload(F.col("text")).alias("payload")
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
+# PNG pixels are stored R,G,B (opposite of BMP): pixel byte j is text byte
+# j mod len(text), so channel means are means over code positions
+# 3p / 3p+1 / 3p+2 (1-indexed below). Filtering is lossless — the filter
+# plan never appears in the oracle, only in the bitstream under test.
+SQL_MULTIMODAL_PNG = """
+WITH px AS (SELECT doc_id,
+                   [ascii(substr(text, CAST((j % length(text)) + 1 AS INTEGER), 1))
+                    for j in range(0, 300)] AS cs
+            FROM documents)
+SELECT doc_id, CAST(10 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,
+       round(list_avg([cs[3 * p + 1] for p in range(0, 100)]), 6) AS mean_r,
+       round(list_avg([cs[3 * p + 2] for p in range(0, 100)]), 6) AS mean_g,
+       round(list_avg([cs[3 * p + 3] for p in range(0, 100)]), 6) AS mean_b
+FROM px ORDER BY doc_id
+"""
+
+
+def q_multimodal_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata + frame sampling (round 4 — retires
+    the video stub): wrap each document in a structurally-valid RIFF/AVI
+    header (n_frames derived from the text length, 25 fps), PARSE it back
+    with the RIFF/hdrl/avih walker, then explode the every-30th-frame
+    sampling plan (pure JVM sequence+explode). The oracle re-derives the
+    frame indices from the text length alone, so a mis-parsed header
+    (wrong offset, missed word alignment) shifts every row."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from spacetime_crawler4_spark.operators.multimodal import (
+        encode_avi_header,
+        extract_video_meta,
+        frame_sample_plan,
+    )
+
+    @pandas_udf(BinaryType())
+    def avi_payload(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_avi_header(1 + len(t or "") % 240, 320, 240, 40000)
+                for t in text
+            ]
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), avi_payload(F.col("text")).alias("payload")
+    )
+    meta = extract_video_meta(media)
+    plan = frame_sample_plan(meta, n_frames_col="n_frames", every=30)
+    return (
+        meta.select("media_id", "n_frames", "width", "height", F.round("fps", 4).alias("fps"))
+        .join(plan, "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "n_frames", "width", "height", "fps", "frame_idx",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+SQL_MULTIMODAL_VIDEO = """
+WITH m AS (SELECT doc_id, CAST(1 + length(text) % 240 AS INTEGER) AS n_frames
+           FROM documents)
+SELECT doc_id, n_frames,
+       CAST(320 AS INTEGER) AS width, CAST(240 AS INTEGER) AS height,
+       CAST(25.0 AS DOUBLE) AS fps,
+       CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx
+FROM m ORDER BY doc_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR data selection (operators/dsir.py — Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+
+def q_sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (round 4): select the 50 documents whose
+    hashed unigram+bigram distribution is most target-like, with the 'en'
+    slice as the target corpus and the whole pool as the source model.
+    log w(d) = sum_b c_b(d)(log p_b - log q_b) over 4096 md5-hashed
+    buckets, add-1 smoothing; deterministic rank by rounded weight (the
+    paper's Gumbel noise swaps in via operators/sampling.exp_sort_key).
+    Plan: one explode, two aggregations, a broadcast 4096-row model join."""
+    from spacetime_crawler4_spark.operators.dsir import dsir_select_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select_topk(docs, F.col("lang") == "en", k=50)
+
+
+SQL_SAMPLE_DSIR = f"""
+WITH toks AS (SELECT doc_id, lang, {_DUCK_TOKS} AS ts FROM documents),
+uni AS (SELECT doc_id, lang, unnest(ts) AS gram FROM toks),
+bi AS (SELECT doc_id, lang,
+              unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS gram
+       FROM toks),
+grams AS (SELECT doc_id, lang,
+                 CAST('0x' || substr(md5('dsir' || gram), 1, 6) AS INTEGER) % 4096 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+dc AS (SELECT doc_id, b, count(*) AS c FROM grams GROUP BY doc_id, b),
+tt AS (SELECT b, count(*) AS cs,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+       FROM grams GROUP BY b),
+tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM tt),
+lr AS (SELECT b, ln((ct + 1.0) / (nt + 4096.0)) - ln((cs + 1.0) / (ns + 4096.0)) AS r
+       FROM tt CROSS JOIN tot),
+sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+              round(sum(c * r), 4) AS dsir_logw
+       FROM dc JOIN lr USING (b) GROUP BY doc_id)
+SELECT doc_id, n_grams, dsir_logw FROM sc
+ORDER BY dsir_logw DESC, doc_id LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # relevance ranking (operators/ranking.py — corpus slicing / boosted sampling)
 # --------------------------------------------------------------------------
@@ -3947,6 +4104,13 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         ),
         "crawl_state_host_rank": (q_crawl_state_host_rank, _sql_crawl_host_rank()),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+        # --- round-4 session-2 additions: real PNG/AVI codecs + DSIR ---
+        "multimodal_png_roundtrip": (q_multimodal_png_roundtrip, SQL_MULTIMODAL_PNG),
+        "multimodal_video_frame_plan": (
+            q_multimodal_video_frame_plan,
+            SQL_MULTIMODAL_VIDEO,
+        ),
+        "sample_dsir_topk": (q_sample_dsir_topk, SQL_SAMPLE_DSIR),
         # --- high-value r3-green queries retained in the window ---
         "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
