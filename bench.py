@@ -216,6 +216,9 @@ def run_crawl(spark) -> dict:
         "waves": eng.wave_no,
         "wall_s": round(wall, 2),
         "urls_per_sec": round(n / wall, 1),
+        # incremental seen-bloom accounting: full O(frontier) rebuilds vs
+        # O(inserts) delta merges (engine._advance_seen_sketch)
+        "seen_sketch": dict(eng.sketch_stats),
     }
 
 

@@ -167,10 +167,18 @@ class CrawlEngine:
         # round/doubling counters of the last _distributed_election run
         # (adversarial-chain test + bench introspection)
         self.election_stats: dict[str, int] = {"outer_rounds": 0, "doubling_steps": 0}
+        # incremental seen-set bloom: {"blob", "capacity", "covered"} —
+        # valid only while covered == _frontier_rows (any path that grows
+        # the frontier without OR-ing a delta in, e.g. streaming seed
+        # appends, fails that check and forces a full rebuild)
+        self._seen_sketch: dict | None = None
+        # build/merge counters (tests + bench introspection)
+        self.sketch_stats: dict[str, int] = {"full_builds": 0, "delta_merges": 0}
 
     # ------------------------------------------------------------- state
     def init_state(self, resume: bool = False) -> None:
         spark = self.spark
+        self._seen_sketch = None  # (re)built lazily against the new frontier
         if resume and self.store is not None:
             loaded = self.store.load_latest(spark)
             if loaded is not None:
@@ -729,6 +737,44 @@ class CrawlEngine:
         counters = {"wave": self.wave_no}
         return updates, inserts, counters
 
+    # --------------------------------------------- seen-sketch maintenance
+    def _advance_seen_sketch(self, inserts: DataFrame, n_new: int) -> None:
+        """Keep the incremental seen-bloom valid after a wave lands: OR in
+        a delta bloom built over ONLY this wave's inserts (they're cached —
+        the frontier materialization already computed them). The delta is
+        built at the same (capacity, fpp) as the running filter, so the JVM
+        sizes it identically and the bit arrays merge exactly. When the
+        frontier outgrows the sized capacity the sketch is dropped instead
+        — the next wave does one full rebuild at factor x the new size."""
+        st = self._seen_sketch
+        if (
+            st is None
+            or self.cfg.seen_bloom_fpp is None
+            or self.cfg.seen_filter == "cuckoo"
+        ):
+            return
+        if n_new == 0:
+            st["covered"] = self._frontier_rows  # nothing new; still valid
+            return
+        if st["covered"] + n_new > st["capacity"]:
+            self._seen_sketch = None  # outgrew the sizing -> rebuild next wave
+            return
+        from spacetime_crawler4_spark.functions.bloom import build_bloom, merge_blooms
+
+        delta = build_bloom(
+            inserts.select(F.xxhash64(F.col("urlhash")).alias("k")),
+            "k",
+            expected=st["capacity"],
+            fpp=self.cfg.seen_bloom_fpp,
+        )
+        try:
+            st["blob"] = merge_blooms(st["blob"], delta)
+        except ValueError:  # parameter drift (never expected): stay safe
+            self._seen_sketch = None
+            return
+        st["covered"] += n_new
+        self.sketch_stats["delta_merges"] += 1
+
     # ------------------------------------------------ seen-set anti-join
     def _seen_anti_join(self, candidates: DataFrame) -> DataFrame:
         """J1: candidates not yet in the frontier.
@@ -772,13 +818,32 @@ class CrawlEngine:
                 might_contain_udf,
             )
 
-            blob = build_bloom(
-                self.frontier.select(F.xxhash64(F.col("urlhash")).alias("k")),
-                "k",
-                expected=max(self._frontier_rows, 1024),
-                fpp=self.cfg.seen_bloom_fpp,
-            )
-            probe = might_contain_udf(blob)(F.xxhash64(F.col("urlhash")))
+            # incremental build (schema.seen_bloom_capacity_factor): a full
+            # O(frontier) scan only when no valid sketch covers the current
+            # frontier; between rebuilds each wave ORs in an O(inserts)
+            # delta (run() loop) — at a 10^10-row frontier this is the
+            # difference between re-scanning the frontier every wave and
+            # touching only the new rows.
+            st = self._seen_sketch
+            if st is None or st["covered"] != self._frontier_rows:
+                capacity = max(
+                    self._frontier_rows
+                    * max(self.cfg.seen_bloom_capacity_factor, 1),
+                    1024,
+                )
+                blob = build_bloom(
+                    self.frontier.select(F.xxhash64(F.col("urlhash")).alias("k")),
+                    "k",
+                    expected=capacity,
+                    fpp=self.cfg.seen_bloom_fpp,
+                )
+                self._seen_sketch = st = {
+                    "blob": blob,
+                    "capacity": capacity,
+                    "covered": self._frontier_rows,
+                }
+                self.sketch_stats["full_builds"] += 1
+            probe = might_contain_udf(st["blob"])(F.xxhash64(F.col("urlhash")))
         keyed = candidates.withColumn("_maybe_seen", probe).cache()
         self._wave_caches.append(keyed)
         definitely_new = keyed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
@@ -1197,8 +1262,18 @@ class CrawlEngine:
                     for code in (0, 1, 2, 3, 4, 5, 6, 7, 8, 255)
                 ],
             )
+            # cached so the incremental seen-bloom delta below reads the
+            # wave's inserts from memory instead of recomputing the wave.
+            # The cache sits BELOW the observe node: a CollectMetrics above
+            # a cached subtree fires on every action, while caching the
+            # observed frame itself can skip metric collection entirely
+            # (obs.get then dies with a JVM assertion).
+            inserts_cached = inserts.cache()
+            self._wave_caches.append(inserts_cached)
             obs_ins = Observation(f"inserts-{self.wave_no}")
-            inserts = inserts.observe(obs_ins, F.count(F.lit(1)).alias("n_inserts"))
+            inserts = inserts_cached.observe(
+                obs_ins, F.count(F.lit(1)).alias("n_inserts")
+            )
             untouched = self.frontier.join(
                 wave.select("urlhash"), "urlhash", "left_anti"
             )
@@ -1214,6 +1289,7 @@ class CrawlEngine:
             counters.update({k: v for k, v in obs.get.items() if v})
             counters["n_inserts"] = obs_ins.get["n_inserts"]
             self._frontier_rows += counters["n_inserts"]
+            self._advance_seen_sketch(inserts_cached, int(counters["n_inserts"]))
             self.metrics.append(counters)
             # the state tables checkpoint lazily and may first materialize
             # early next wave, so this wave's caches are released one wave

@@ -156,6 +156,14 @@ class CrawlConfig:
     # filter, per-shard executor build, deletion-capable — the north
     # rule's upgrade path, functions/cuckoo.py)
     seen_filter: str = "bloom"
+    # incremental seen-bloom headroom: the filter is sized for
+    # capacity_factor x the frontier at build time, then each wave's
+    # inserts OR-merge in as a delta bloom (O(inserts), not O(frontier));
+    # a full rebuild happens only when the frontier outgrows the sized
+    # capacity — ~log_factor(growth) rebuilds over a whole crawl. fpp is
+    # honored at all times because the filter never holds more keys than
+    # it was sized for. 1 disables incrementality (rebuild every wave).
+    seen_bloom_capacity_factor: int = 4
     # within-wave simhash master election: pair graphs at or below this
     # size are resolved in one driver pass; larger (dense) graphs use the
     # distributed round-based election (engine._distributed_election), so

@@ -159,6 +159,31 @@ def build_bloom(df: DataFrame, col: str, expected: int, fpp: float = 0.03) -> Bl
     return deserialize_bloom(bytes(bos.toByteArray()))
 
 
+def merge_blooms(a: BloomBlob, b: BloomBlob) -> BloomBlob:
+    """OR-merge two blooms built with IDENTICAL parameters (version,
+    num_hashes, seed, bit_size) — the incremental seen-set path: the
+    engine builds a delta bloom over only last wave's inserts (the JVM
+    sizes the sketch deterministically from (expected, fpp), so deltas
+    built at the same capacity share the parameter tuple) and ORs it
+    into the running filter instead of re-scanning the whole frontier.
+    Membership is preserved exactly: a key inserted into either operand
+    sets the same bit positions it would set in the union."""
+    if (a.version, a.num_hashes, a.seed, a.bit_size) != (
+        b.version,
+        b.num_hashes,
+        b.seed,
+        b.bit_size,
+    ):
+        raise ValueError("incompatible bloom parameters")
+    return BloomBlob(
+        version=a.version,
+        num_hashes=a.num_hashes,
+        seed=a.seed,
+        bits=a.bits | b.bits,
+        bit_size=a.bit_size,
+    )
+
+
 def might_contain_udf(blob: BloomBlob):
     """Arrow-batched probe over a LongType column."""
 

@@ -25,6 +25,15 @@ def test_bloom_prefilter_is_transparent(spark, corpus_dir, engine_frontier):
         b, p = dict(bloom_state[h]), dict(plain_state[h])
         b["words"], p["words"] = dict(b["words"] or {}), dict(p["words"] or {})
         assert b == p, p["url"]
+    # the incremental path actually engaged: the multi-wave crawl must have
+    # OR-merged at least one O(inserts) delta instead of re-scanning the
+    # frontier every wave (full rebuilds happen only on capacity overflow)
+    assert eng.sketch_stats["delta_merges"] >= 1
+    assert eng.sketch_stats["full_builds"] >= 1
+    n_insert_waves = sum(1 for m in eng.metrics if m.get("n_inserts"))
+    assert (
+        eng.sketch_stats["full_builds"] <= n_insert_waves
+    ), "incremental sketch rebuilt more often than waves inserted"
 
 
 # ---------------------------------------------------------------------------

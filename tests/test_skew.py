@@ -13,16 +13,17 @@ from pyspark.sql.window import Window
 
 from spacetime_crawler4_spark.crawl.engine import CrawlConfig, CrawlEngine
 
-FIX = ".fixtures"
 SEEDS = ["http://a.example-a.test/"]
 
 
-def _engine(spark, wave_seconds=10.0):
+def _engine(spark, corpus_dir, wave_seconds=10.0):
+    # the session-scoped corpus_dir fixture, not a pre-generated .fixtures
+    # dir — these tests must pass in a fresh checkout with no setup step
     cfg = CrawlConfig(wave_seconds=wave_seconds, default_delay=0.5)
     eng = CrawlEngine(
         spark,
-        f"{FIX}/pages.parquet",
-        f"{FIX}/robots.parquet",
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
         SEEDS,
         cfg,
     )
@@ -45,8 +46,8 @@ def _skewed_pending(spark, mega_rows=50_000, small_domains=5, small_rows=7):
     )
 
 
-def test_salted_selection_equals_unsalted_oracle_on_mega_host(spark):
-    eng = _engine(spark, wave_seconds=10.0)  # budget = 10/0.5 = 20/domain
+def test_salted_selection_equals_unsalted_oracle_on_mega_host(spark, corpus_dir):
+    eng = _engine(spark, corpus_dir, wave_seconds=10.0)  # budget = 10/0.5 = 20
     pending = _skewed_pending(spark)
     got = eng._select_wave(pending)
 
@@ -66,8 +67,8 @@ def test_salted_selection_equals_unsalted_oracle_on_mega_host(spark):
         assert sum(1 for _, dd in got_set if dd == f"d{d}.test") == 7
 
 
-def test_selection_plan_partitions_by_domain_and_salt(spark):
-    eng = _engine(spark)
+def test_selection_plan_partitions_by_domain_and_salt(spark, corpus_dir):
+    eng = _engine(spark, corpus_dir)
     plan = (
         eng._select_wave(_skewed_pending(spark, mega_rows=100))
         ._jdf.queryExecution()
