@@ -148,3 +148,59 @@ def weighted_sample(
         .limit(k)
         .drop("_esk")
     )
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    shard_col: str = "source",
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Domain-mixture reweighting (the DoReMi / The Pile recipe distilled
+    to its deterministic core): compare each source's share of the token
+    budget against a target mixture and emit the sampling weight that
+    reshapes the corpus toward the target.
+
+    (source, n_docs, n_toks, share, target_share, weight) — weight =
+    target_share / share; a downstream Bernoulli pass keeps each doc
+    with probability min(1, weight * global_rate) or repeats it
+    ceil(weight) times for up-sampled domains. ``target`` maps source ->
+    desired share (need not sum to 1; it is normalized); default is the
+    uniform mixture over observed sources.
+
+    Scale shape: one partial-aggregated groupBy over (source); the
+    per-source table is tiny (domains << docs) and every ratio derives
+    from exact BIGINT token counts, so Spark and a SQL oracle agree
+    bit-for-bit before rounding.
+    """
+    from spacetime_crawler4_spark.operators.dedup import sql_tokens
+
+    per = (
+        docs.select(
+            F.col(shard_col).alias("source"),
+            F.size(sql_tokens(F.col(text_col))).cast("bigint").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_toks"))
+    )
+    totals = per.agg(
+        F.sum("n_toks").alias("_total"), F.count("*").alias("_n_sources")
+    )
+    per = per.crossJoin(F.broadcast(totals))
+    if target is None:
+        target_share = F.lit(1.0) / F.col("_n_sources")
+    else:
+        z = sum(target.values())
+        mapping = F.create_map(
+            *[x for k, v in sorted(target.items()) for x in (F.lit(k), F.lit(v / z))]
+        )
+        target_share = F.coalesce(mapping[F.col("source")], F.lit(0.0))
+    share = F.col("n_toks") / F.col("_total")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_toks",
+        F.round(share, 6).alias("share"),
+        F.round(target_share, 6).alias("target_share"),
+        F.round(target_share / share, 6).alias("weight"),
+    )

@@ -4034,6 +4034,142 @@ ORDER BY n_exact DESC, e.token
 
 
 # --------------------------------------------------------------------------
+# chunking / packing / mixture / perplexity partition (round-4 session 3)
+# --------------------------------------------------------------------------
+
+CHUNK_L = 64  # chunk_tokens
+CHUNK_OV = 16  # overlap -> stride 48
+PACK_SEQ_LEN = 256
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (RAG / context-window split): 64-token
+    chunks, 16-token overlap, deterministic md5 chunk ids. Map-side only —
+    tokenize once per doc, Generate the starts, slice the carried token
+    array; no shuffle (operators/chunking.py)."""
+    from spacetime_crawler4_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, CHUNK_L, CHUNK_OV).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_STRIDE = CHUNK_L - CHUNK_OV
+
+SQL_TEXT_CHUNK_WINDOWS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+st AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+ch AS (SELECT doc_id, ts, n,
+              unnest(generate_series(0,
+                     ((greatest(n - {CHUNK_L}, 0) + {_CHUNK_STRIDE - 1})
+                      // {_CHUNK_STRIDE}) * {_CHUNK_STRIDE},
+                     {_CHUNK_STRIDE})) AS start
+       FROM st)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       md5(doc_id || ':' || (start // {_CHUNK_STRIDE})) AS chunk_id,
+       CAST(least({CHUNK_L}, n - start) AS INT) AS n_tokens,
+       array_to_string(ts[start + 1 : start + {CHUNK_L}], ' ') AS chunk_text
+FROM ch ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_text_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence-packing manifest (LM pretraining batcher),
+    packed per source shard so the cumulative sum never serializes through
+    one partition. Integers only — hash-exact (operators/chunking.py)."""
+    from spacetime_crawler4_spark.operators.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, PACK_SEQ_LEN).orderBy("source", "doc_id")
+
+
+SQL_TEXT_PACK_MANIFEST = f"""
+WITH toks AS (SELECT source, doc_id,
+                     CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+              FROM documents),
+c AS (SELECT source, doc_id, n_toks,
+             CAST(coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id),
+                           0) AS BIGINT) - n_toks AS tok_offset
+      FROM toks),
+m AS (SELECT source, doc_id, n_toks, tok_offset,
+             CAST(floor(tok_offset / {PACK_SEQ_LEN}.0) AS BIGINT) AS seq_begin,
+             greatest(
+               CAST(floor((tok_offset + n_toks - 1) / {PACK_SEQ_LEN}.0) AS BIGINT),
+               CAST(floor(tok_offset / {PACK_SEQ_LEN}.0) AS BIGINT)) AS seq_end
+      FROM c)
+SELECT source, doc_id, n_toks, tok_offset, seq_begin, seq_end,
+       CAST(seq_end - seq_begin + 1 AS BIGINT) AS n_seqs
+FROM m ORDER BY source, doc_id
+"""
+
+
+def q_text_ppx_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2020):
+    per-language perplexity terciles under the corpus unigram LM —
+    'head' trains first, 'tail' gets filtered or down-weighted. ntile
+    over (lang) ordered by the 4dp-rounded bits/token then doc_id, so
+    the assignment is deterministic and oracle-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_bits_per_token(docs).join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    w = Window.partitionBy("lang").orderBy("bits_per_token", "id")
+    tercile = F.ntile(3).over(w)
+    return scored.select(
+        F.col("id").alias("doc_id"),
+        "lang",
+        "bits_per_token",
+        tercile.alias("tercile"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tercile
+        ).alias("ppx_band"),
+    ).orderBy("lang", "doc_id")
+
+
+SQL_TEXT_PPX_PARTITION = f"""
+WITH ppx AS ({SQL_TEXT_UNIGRAM_PPX}),
+base AS (SELECT p.doc_id, d.lang, p.bits_per_token
+         FROM ppx p JOIN documents d USING (doc_id)),
+t AS (SELECT doc_id, lang, bits_per_token,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY bits_per_token, doc_id) AS tercile
+      FROM base)
+SELECT doc_id, lang, bits_per_token, tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS ppx_band
+FROM t ORDER BY lang, doc_id
+"""
+
+
+def q_sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting toward the uniform source mixture
+    (DoReMi / The Pile recipe distilled to its deterministic core): each
+    source's token share vs target share and the resampling weight. One
+    partial-aggregated groupBy; ratios from exact BIGINT counts
+    (operators/sampling.py:source_mixture_weights)."""
+    from spacetime_crawler4_spark.operators.sampling import source_mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_mixture_weights(docs).orderBy("source")
+
+
+SQL_SAMPLE_MIXTURE = f"""
+WITH toks AS (SELECT source, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+              FROM documents),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_toks
+        FROM toks GROUP BY source),
+tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total,
+               count(*) AS n_sources FROM per)
+SELECT source, n_docs, n_toks,
+       round(n_toks / (tot.total * 1.0), 6) AS share,
+       round(1.0 / tot.n_sources, 6) AS target_share,
+       round((1.0 / tot.n_sources) / (n_toks / (tot.total * 1.0)), 6) AS weight
+FROM per CROSS JOIN tot ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4111,8 +4247,15 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
             SQL_MULTIMODAL_VIDEO,
         ),
         "sample_dsir_topk": (q_sample_dsir_topk, SQL_SAMPLE_DSIR),
-        # --- high-value r3-green queries retained in the window ---
+        # --- round-4 session-3: chunking / packing / mixture / ppx bands ---
+        "text_chunk_windows": (q_text_chunk_windows, SQL_TEXT_CHUNK_WINDOWS),
+        "text_pack_manifest": (q_text_pack_manifest, SQL_TEXT_PACK_MANIFEST),
+        "text_ppx_partition": (q_text_ppx_partition, SQL_TEXT_PPX_PARTITION),
+        "sample_mixture_weights": (q_sample_mixture_weights, SQL_SAMPLE_MIXTURE),
+        # --- highest-value r3-green query retained in the window ---
         "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
+        # --- r3-green, rotated out of the driver window (local oracle
+        #     gate still applies to every one of these) ---
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
         "dedup_simhash_refparity": (q_dedup_simhash_refparity, _sql_simhash_refparity()),
         "dedup_simhash64_pairs": (q_dedup_simhash64_pairs, _sql_simhash64_pairs()),
@@ -4120,8 +4263,6 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_dedup_substring_removal,
             _sql_substring_removal(),
         ),
-        # --- r3-green, rotated out of the driver window (local oracle
-        #     gate still applies to every one of these) ---
         "report_longest_doc": (q_report_longest_doc, SQL_REPORT_LONGEST),
         "report_docs_per_source": (q_report_docs_per_source, SQL_REPORT_PER_SOURCE),
         "report_lang_tallies": (q_report_lang_tallies, SQL_REPORT_LANG),
