@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_substring_removal",
     "sketch_cms_heavy_hitters",
     "text_unigram_ppx",
+    "text_chunk_windows",
     "tpch_pricing",
     "tpch_top_customers",
 ]

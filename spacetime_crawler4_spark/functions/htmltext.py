@@ -58,6 +58,12 @@ class PageExtract(NamedTuple):
     links: list[str]  # sorted, deduped, absolutized
     text_fragments: list[str]  # stripped non-empty text nodes, document order
     sitemap: bool
+    # (dst_url, anchor_text) per <a href> in document order; dst normalized
+    # like links, text = space-joined visible fragments inside the anchor.
+    # Additive surface for the anchor-text link graph (operators/linkgraph) —
+    # the reference collects outlinks but discards anchor text
+    # (scraper.py extract_next_links), so this field has no parity contract.
+    anchors: tuple = ()
 
     @property
     def text(self) -> str:
@@ -66,9 +72,13 @@ class PageExtract(NamedTuple):
 
 # '&' is masked to this sentinel before tokenizing so the stdlib parser's
 # html5 charref handling never fires; our libxml2-style decoder runs on
-# the reassembled text instead. NUL never survives an HTML parse anyway
-# (libxml2 drops it), so it is a safe mask character.
-_AMP_MASK = "\x00"
+# the reassembled text instead. libxml2 rejects the non-whitespace C0
+# controls in char data (IS_CHAR excludes them), so \x00 and \x01 are
+# stripped from input up front and \x01 becomes the mask. \x01
+# specifically because CPython's html.parser special-cases \x00 inside
+# tag markup (an html5 rule libxml2 does not share) — masking with NUL
+# made `<b&>x` parse as text where libxml2 recovers a <b> tag.
+_AMP_MASK = "\x01"
 
 # libxml2 named-entity semantics: HTML 4.01 table, ';' REQUIRED.
 # numeric refs decode with or without the trailing ';' (libxml2 emits the
@@ -111,29 +121,99 @@ _VOID = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 
+# libxml2 htmlParseHTMLName: letters/digits and : . _ - (tag + attr names)
+_HNAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:._-]*")
+_HNAME_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789:._-"
+)
+_WS = " \t\n\r\f"
+
+
+def _parse_tag_attrs(s: str) -> list[tuple[str, str | None]]:
+    """Start-tag attribute text -> [(name, value|None)] with libxml2's
+    recovery: a bogus character where an attribute name should begin is
+    skipped (libxml2 SKIP(1)) and parsing continues — so '<a ]href=x>'
+    still yields the href. Values: quoted to the matching quote
+    (unterminated never reaches here — the end scan refuses to close
+    such a tag), else up to whitespace."""
+    attrs: list[tuple[str, str | None]] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] in _WS or s[i] == "/":
+            i += 1
+            continue
+        m = _HNAME_RE.match(s, i)
+        if not m:
+            i += 1  # bogus byte between attributes: skip, keep parsing
+            continue
+        name = m.group(0).lower()
+        i = m.end()
+        while i < n and s[i] in _WS:
+            i += 1
+        if i < n and s[i] == "=":
+            i += 1
+            while i < n and s[i] in _WS:
+                i += 1
+            if i < n and s[i] in "\"'":
+                q = s[i]
+                j = s.find(q, i + 1)
+                if j < 0:
+                    j = n
+                attrs.append((name, s[i + 1 : j]))
+                i = j + 1
+            else:
+                j = i
+                while j < n and s[j] not in _WS:
+                    j += 1
+                attrs.append((name, s[i:j]))
+                i = j
+        else:
+            attrs.append((name, None))
+    return attrs
+
 
 class _Collector(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=False)
         self.fragments: list[str] = []
         self.hrefs: list[str] = []
+        self.anchors: list[tuple[str, str]] = []  # (href, visible text)
+        self._a_href: str | None = None
+        self._a_start = 0
         self._stack: list[str] = []
+
+    def _close_anchor(self) -> None:
+        if self._a_href is not None:
+            self.anchors.append(
+                (self._a_href, " ".join(self.fragments[self._a_start :]))
+            )
+            self._a_href = None
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag == "a":
+            # a new <a> implicitly closes an open one (html tree building);
+            # anchor text = the visible fragments emitted while it was open
+            self._close_anchor()
             for name, value in attrs:
                 if name == "href" and value is not None:
-                    self.hrefs.append(_decode_entities(_unmask(value)))
+                    href = _decode_entities(_unmask(value))
+                    self.hrefs.append(href)
+                    self._a_href = href
+                    self._a_start = len(self.fragments)
                     break
         if tag not in _VOID:
             self._stack.append(tag)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         self.handle_starttag(tag, attrs)
+        if tag == "a":
+            self._close_anchor()  # <a href=x/>: empty anchor text
         if self._stack and self._stack[-1] == tag:
             self._stack.pop()
 
     def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close_anchor()
         # pop to the matching open tag (recovery for misnested inline tags);
         # a stray end tag with no opener is ignored
         if tag in self._stack:
@@ -148,6 +228,76 @@ class _Collector(HTMLParser):
         if s:
             self.fragments.append(s)
 
+    def check_for_whole_start_tag(self, i: int) -> int:
+        # libxml2-faithful start-tag end scan, replacing the stdlib one
+        # (whose quote rules diverge: it honors name="v but not the
+        # spaced name = "v, arms quotes in non-value junk differently,
+        # and flushes malformed tags back out as text). A quote opens a
+        # value span ONLY right after NAME= (whitespace allowed around
+        # '='); a '>' inside such a span does not close the tag; a tag
+        # with no closing '>' — including an unterminated quoted value —
+        # returns -1 so it stays buffered and is dropped at EOF.
+        rawdata = self.rawdata
+        n = len(rawdata)
+        # the tag NAME is not an attribute name: '<p="v>' must not arm a
+        # value quote, so the armed/prev_name state starts after it
+        m = _HNAME_RE.match(rawdata, i + 1)
+        j = m.end() if m else i + 1
+        in_q, armed, prev_name = None, False, False
+        while j < n:
+            c = rawdata[j]
+            if in_q:
+                if c == in_q:
+                    in_q = None
+            elif c == ">":
+                return j + 1
+            elif c in "\"'":
+                if armed:
+                    in_q = c
+                armed = prev_name = False
+            elif c == "=":
+                armed, prev_name = prev_name, False
+            elif c not in _WS:
+                prev_name, armed = c in _HNAME_CHARS, False
+            j += 1
+        return -1
+
+    def parse_starttag(self, i: int) -> int:
+        # libxml2-faithful start-tag grammar (stdlib parse_starttag is
+        # regex-tolerant in ways libxml2 is not, and emits malformed
+        # tags back out as text where libxml2 recovers a tag). Only
+        # called by goahead() on '<[a-zA-Z]', so the name match holds.
+        endpos = self.check_for_whole_start_tag(i)
+        if endpos < 0:
+            return -1
+        rawdata = self.rawdata
+        m = _HNAME_RE.match(rawdata, i + 1)
+        tag = m.group(0).lower()
+        inner = rawdata[m.end() : endpos - 1]
+        attrs = _parse_tag_attrs(inner)
+        if inner.rstrip().endswith("/"):
+            self.handle_startendtag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+        return endpos
+
+    def parse_marked_section(self, i: int, report: int = 1) -> int:
+        # '<![...': libxml2 (and html5's bogus-comment rule) skips to the
+        # FIRST '>' — '<![CDATA[a>b]]>c' leaves 'b]]>c' as text. The
+        # stdlib implementation instead consumes to ']]>' and raises
+        # AssertionError outright on junk like '<![>'. Nothing emitted.
+        end = self.rawdata.find(">", i + 3)
+        if end < 0:
+            return -1  # unterminated: buffered, dropped at EOF
+        return end + 1
+
+
+# markup-construct starts whose unterminated tail libxml2 discards at
+# EOF: start tag, end tag, declaration/comment, processing instruction.
+# '<' followed by anything else (digit, space, EOF) is text on both sides.
+_UNTERMINATED_RE = re.compile(r"<(?:[a-zA-Z]|/|!|\?)")
 
 _BOMS = (
     (b"\xef\xbb\xbf", "utf-8-sig"),
@@ -211,10 +361,26 @@ def extract_page(url: str, content: bytes, content_type: str = "text/html") -> P
 
     parser = _Collector()
     text = _decode_html(content)
-    # NUL never survives libxml2; it doubles as our '&' mask
-    parser.feed(text.replace(_AMP_MASK, "").replace("&", _AMP_MASK))
+    # strip the libxml2-rejected controls (incl. the mask char), then mask
+    parser.feed(
+        text.replace("\x00", "").replace(_AMP_MASK, "").replace("&", _AMP_MASK)
+    )
+    # libxml2 recovery DROPS a tag/end-tag/comment/PI/declaration left
+    # open at EOF (it swallows to end-of-input and emits nothing), while
+    # HTMLParser.close() would flush the unconsumed buffer back out as
+    # text ('<a' at EOF -> fragments ['<','a']). The buffer is exactly
+    # the unterminated construct (feed() already consumed everything
+    # terminated, honoring attribute quoting), so discard it when it
+    # starts like markup; a lone '<' before EOF stays text on both.
+    if parser.rawdata and _UNTERMINATED_RE.match(parser.rawdata):
+        parser.rawdata = ""
     parser.close()
+    parser._close_anchor()  # anchor still open at EOF keeps its text
     links = {
         normalize_url(urldefrag(urljoin(url, href)).url) for href in parser.hrefs
     }
-    return PageExtract(sorted(links), parser.fragments, False)
+    anchors = tuple(
+        (normalize_url(urldefrag(urljoin(url, href)).url), text)
+        for href, text in parser.anchors
+    )
+    return PageExtract(sorted(links), parser.fragments, False, anchors)

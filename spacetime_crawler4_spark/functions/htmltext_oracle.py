@@ -41,6 +41,7 @@ _VOID = frozenset(
 )
 
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_\-.]*")
+_NAME_CHAR_RE = re.compile(r"[a-zA-Z0-9:_\-.]")
 _ENT_RE = re.compile(r"&(?:([a-zA-Z][a-zA-Z0-9]*);|#([0-9]+);?|#[xX]([0-9a-fA-F]+);?)")
 
 
@@ -82,7 +83,8 @@ def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
             i += 1
         m = _NAME_RE.match(s, i)
         if not m:
-            break
+            i += 1  # libxml2 SKIP(1): bogus byte, keep parsing attrs
+            continue
         name = m.group(0).lower()
         i = m.end()
         while i < n and s[i] in " \t\n\r\f":
@@ -149,18 +151,35 @@ def _tokenize(text: str):
             i = lt + 1
             continue
         tag = m.group(0).lower()
-        # find tag close, honoring quoted attribute values that contain '>'
+        # find tag close, honoring quoted attribute VALUES that contain
+        # '>'. A quote opens a span only in value position — after
+        # NAME= (whitespace allowed around '=') — matching libxml2,
+        # where htmlParseAttValue runs only after an attribute NAME and
+        # '='; a stray quote among junk, or after a bare '=', is skipped
+        # as a bogus character and never quotes. The tag name itself is
+        # not an attribute name, so state starts cold after it.
         j = m.end()
         in_q: str | None = None
+        val_next = False  # an armed '=' was seen: a quote here quotes
+        was_name = False  # last non-space char was an attr-name char
         while j < n:
             c = text[j]
-            if in_q:
+            if in_q is not None:
                 if c == in_q:
                     in_q = None
-            elif c in "\"'":
-                in_q = c
-            elif c == ">":
+                j += 1
+                continue
+            if c == ">":
                 break
+            if c in "\"'":
+                if val_next:
+                    in_q = c
+                val_next = was_name = False
+            elif c == "=":
+                val_next, was_name = was_name, False
+            elif c not in " \t\n\r\f":
+                was_name = bool(_NAME_CHAR_RE.match(c))
+                val_next = False
             j += 1
         if j >= n:
             return  # unterminated tag swallows to EOF
@@ -185,6 +204,10 @@ def oracle_extract(url: str, content_text: str) -> tuple[list[str], list[str]]:
     the independent twin of htmltext.extract_page's HTML branch. Takes
     already-decoded text so byte-decoding (shared, table-driven) stays
     out of the differential."""
+    # libxml2 rejects \x00/\x01 in char data (IS_CHAR); the production
+    # extractor strips them pre-parse (\x01 doubles as its '&' mask), and
+    # the twin must make the identical up-front decision
+    content_text = content_text.replace("\x00", "").replace("\x01", "")
     fragments: list[str] = []
     hrefs: list[str] = []
     stack: list[str] = []

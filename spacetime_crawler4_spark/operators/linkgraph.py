@@ -1,0 +1,144 @@
+"""Anchor-text link graph — the classic web-scale anchor aggregation.
+
+The reference crawler collects outlinks but discards the anchor text
+(scraper.py:10-36 ``extract_next_links`` returns bare URLs), so this plane
+is an additive web-scale extension on top of the shared extractor
+(functions/htmltext.py): the search-engine anchor index. Three operators:
+
+- ``anchor_edges``      — pages(url, html) → one row per <a href>:
+                          (src_url, src_domain, pos, dst_url, dst_domain,
+                          anchor_text). Arrow-batched ``mapInPandas`` (the
+                          parse is inherently per-document Python; batches
+                          cross the boundary as Arrow columns) with the dst
+                          normalized exactly like the crawl frontier's links
+                          (normalize ∘ defrag ∘ urljoin), so edges join
+                          against frontier urlhash/url keys directly.
+- ``anchor_summary``    — per dst_url: in-degree, distinct referring pages /
+                          hosts, and the modal anchor text (count desc, text
+                          asc tie-break). Two keyed aggregations on dst —
+                          shuffles on the key it must shuffle on, no
+                          collect, no window over the full edge set.
+- ``domain_graph``      — host-level projection: per (src_domain,
+                          dst_domain) edge count + distinct targets. This is
+                          the shape PageRank/HITS consume (operators/graph).
+- ``anchor_term_index`` — (dst_url, term) anchor-term frequencies using the
+                          engine-wide ``sql_tokens`` tokenizer — the
+                          anchor-text ranking signal (BM25-style fields).
+
+Scale: every aggregation keys on dst (or the domain pair) — at a 10^10-URL
+frontier these are plain hash-partitioned shuffles with map-side partial
+aggregation; the modal-anchor election is a two-stage count→max per key, not
+a global sort. No driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spacetime_crawler4_spark.operators.dedup import sql_tokens
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src_url", StringType()),
+        StructField("src_domain", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("dst_url", StringType()),
+        StructField("dst_domain", StringType()),
+        StructField("anchor_text", StringType()),
+    ]
+)
+
+
+def anchor_edges(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(url, html) pages → anchor-text edges, one row per <a href> in
+    document order (``pos``). dst normalization matches the frontier's link
+    normalization byte-for-byte (functions/htmltext.extract_page)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # imports inside the worker function: the UDF ships self-contained
+        from spacetime_crawler4_spark.crawl.schema import domain_of
+        from spacetime_crawler4_spark.functions.htmltext import extract_page
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in EDGE_SCHEMA.fields}
+            for u, h in zip(pdf[url_col], pdf[html_col]):
+                ex = extract_page(u, h or b"")
+                if not ex.anchors:
+                    continue
+                sdom = domain_of(u)
+                for pos, (dst, text) in enumerate(ex.anchors):
+                    out["src_url"].append(u)
+                    out["src_domain"].append(sdom)
+                    out["pos"].append(pos)
+                    out["dst_url"].append(dst)
+                    out["dst_domain"].append(domain_of(dst))
+                    out["anchor_text"].append(text)
+            yield pd.DataFrame(out)
+
+    return pages.select(url_col, html_col).mapInPandas(_extract, EDGE_SCHEMA)
+
+
+def anchor_summary(edges: DataFrame) -> DataFrame:
+    """Per target URL: in-degree, distinct referring pages and hosts, and
+    the modal anchor text (most frequent; ties broken by text asc).
+
+    Election = groupBy(dst, text) count, then a min_by over a (count desc,
+    text asc)-ordered struct per dst — two map-side-combinable aggregations,
+    never a global window."""
+    per_text = edges.groupBy("dst_url", "anchor_text").agg(
+        F.count("*").alias("n_text")
+    )
+    # min of (-n_text, text) == (count desc, text asc) winner
+    top = per_text.groupBy("dst_url").agg(
+        F.min(F.struct((-F.col("n_text")).alias("neg"), "anchor_text")).alias("w")
+    )
+    base = edges.groupBy("dst_url").agg(
+        F.count("*").alias("in_degree"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+        F.countDistinct("src_domain").alias("n_src_hosts"),
+    )
+    return base.join(top, "dst_url").select(
+        "dst_url",
+        "in_degree",
+        "n_src_pages",
+        "n_src_hosts",
+        F.col("w.anchor_text").alias("top_anchor"),
+    )
+
+
+def domain_graph(edges: DataFrame) -> DataFrame:
+    """Host-level link graph: per (src_domain, dst_domain) edge count and
+    distinct target pages — the input shape for host PageRank/HITS."""
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("dst_url").alias("n_targets"),
+    )
+
+
+def anchor_term_index(edges: DataFrame, min_len: int = 1) -> DataFrame:
+    """(dst_url, term) anchor-term frequencies with referring-host support —
+    the anchor-text field of a BM25-style ranker. Tokenizer = the shared
+    ``sql_tokens`` (identical expression in the DuckDB oracles)."""
+    return (
+        edges.select(
+            "dst_url",
+            "src_domain",
+            F.explode(sql_tokens(F.col("anchor_text"))).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+        .groupBy("dst_url", "term")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("src_domain").alias("n_hosts"),
+        )
+    )

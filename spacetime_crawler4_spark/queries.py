@@ -1970,6 +1970,104 @@ FROM '{_CRAWL_STATE_PARQUET}' GROUP BY absdepth ORDER BY absdepth
 
 
 # --------------------------------------------------------------------------
+# anchor-text link graph (operators/linkgraph.py) over engine truth: the
+# committed links.parquet holds anchor_edges() output for the fixture
+# crawl's OK pages (tools/gen_crawl_state.py links_table; drift-gated by
+# tests/test_linkgraph.py). The reference discards anchor text
+# (scraper.py:10-36) — this is the web-scale anchor-index extension.
+# --------------------------------------------------------------------------
+
+_CRAWL_LINKS_PARQUET = _os.environ.get(
+    "SPARK_GRAFT_CRAWL_LINKS",
+    _os.path.join(_os.path.dirname(_CRAWL_STATE_PARQUET), "links.parquet"),
+)
+
+
+def _crawl_links(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_CRAWL_LINKS_PARQUET)
+
+
+def q_crawl_links_top_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor index head: per target URL the in-degree, distinct referring
+    pages/hosts, and modal anchor text (count desc, text asc election) —
+    operators/linkgraph.anchor_summary over the fixture crawl's edges."""
+    from spacetime_crawler4_spark.operators.linkgraph import anchor_summary
+
+    return (
+        anchor_summary(_crawl_links(spark))
+        .orderBy(F.desc("in_degree"), F.asc("dst_url"))
+        .limit(25)
+    )
+
+
+SQL_CRAWL_LINKS_TOP = f"""
+WITH e AS (SELECT * FROM '{_CRAWL_LINKS_PARQUET}'),
+per_text AS (
+  SELECT dst_url, anchor_text, count(*) AS n_text FROM e GROUP BY 1, 2
+),
+top AS (
+  SELECT dst_url, anchor_text AS top_anchor FROM (
+    SELECT dst_url, anchor_text,
+           row_number() OVER (PARTITION BY dst_url
+                              ORDER BY n_text DESC, anchor_text ASC) AS rn
+    FROM per_text) WHERE rn = 1
+),
+base AS (
+  SELECT dst_url, count(*) AS in_degree,
+         count(DISTINCT src_url) AS n_src_pages,
+         count(DISTINCT src_domain) AS n_src_hosts
+  FROM e GROUP BY 1
+)
+SELECT base.dst_url, in_degree, n_src_pages, n_src_hosts, top_anchor
+FROM base JOIN top USING (dst_url)
+ORDER BY in_degree DESC, base.dst_url ASC LIMIT 25
+"""
+
+
+def q_crawl_links_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (the PageRank/HITS input shape): per
+    (src_domain, dst_domain) edge count and distinct target pages."""
+    from spacetime_crawler4_spark.operators.linkgraph import domain_graph
+
+    return domain_graph(_crawl_links(spark)).orderBy("src_domain", "dst_domain")
+
+
+SQL_CRAWL_LINKS_DOMAINS = f"""
+SELECT src_domain, dst_domain, count(*) AS n_edges,
+       count(DISTINCT dst_url) AS n_targets
+FROM '{_CRAWL_LINKS_PARQUET}'
+GROUP BY src_domain, dst_domain ORDER BY src_domain, dst_domain
+"""
+
+
+def q_crawl_links_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-term ranking signal: top (target, term) cells of the anchor
+    index by mention count — operators/linkgraph.anchor_term_index with the
+    engine-wide sql_tokens tokenizer."""
+    from spacetime_crawler4_spark.operators.linkgraph import anchor_term_index
+
+    return (
+        anchor_term_index(_crawl_links(spark))
+        .orderBy(F.desc("n_mentions"), F.asc("dst_url"), F.asc("term"))
+        .limit(30)
+    )
+
+
+_DUCK_ANCHOR_TOKS = _DUCK_TOKS.replace("lower(text)", "lower(anchor_text)")
+
+SQL_CRAWL_LINKS_TERMS = f"""
+WITH t AS (
+  SELECT dst_url, src_domain, unnest({_DUCK_ANCHOR_TOKS}) AS term
+  FROM '{_CRAWL_LINKS_PARQUET}'
+)
+SELECT dst_url, term, count(*) AS n_mentions,
+       count(DISTINCT src_domain) AS n_hosts
+FROM t GROUP BY dst_url, term
+ORDER BY n_mentions DESC, dst_url ASC, term ASC LIMIT 30
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal plane (binary payload plumbing; stubbed decode)
 # --------------------------------------------------------------------------
 
@@ -4223,8 +4321,6 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-        "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
-        "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
         # --- new round-4 crawl-state queries (real engine output) ---
         "crawl_state_finish_histogram": (
             q_crawl_state_finish_histogram,
@@ -4239,6 +4335,16 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
             SQL_CRAWL_STATE_DEPTH,
         ),
         "crawl_state_host_rank": (q_crawl_state_host_rank, _sql_crawl_host_rank()),
+        # --- round-4 session-4: anchor-text link graph over engine truth ---
+        "crawl_links_top_targets": (q_crawl_links_top_targets, SQL_CRAWL_LINKS_TOP),
+        "crawl_links_domain_graph": (
+            q_crawl_links_domain_graph,
+            SQL_CRAWL_LINKS_DOMAINS,
+        ),
+        "crawl_links_anchor_terms": (
+            q_crawl_links_anchor_terms,
+            SQL_CRAWL_LINKS_TERMS,
+        ),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
         # --- round-4 session-2 additions: real PNG/AVI codecs + DSIR ---
         "multimodal_png_roundtrip": (q_multimodal_png_roundtrip, SQL_MULTIMODAL_PNG),
@@ -4252,10 +4358,12 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_pack_manifest": (q_text_pack_manifest, SQL_TEXT_PACK_MANIFEST),
         "text_ppx_partition": (q_text_ppx_partition, SQL_TEXT_PPX_PARTITION),
         "sample_mixture_weights": (q_sample_mixture_weights, SQL_SAMPLE_MIXTURE),
-        # --- highest-value r3-green query retained in the window ---
-        "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
-        # --- r3-green, rotated out of the driver window (local oracle
+        # --- previously driver-green (r1-r3), rotated out of the window to
+        #     make room for the session-4 link-graph queries (local oracle
         #     gate still applies to every one of these) ---
+        "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
+        "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
+        "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
         "dedup_simhash_refparity": (q_dedup_simhash_refparity, _sql_simhash_refparity()),
         "dedup_simhash64_pairs": (q_dedup_simhash64_pairs, _sql_simhash64_pairs()),

@@ -81,7 +81,7 @@ def test_differential_fixture_corpus_vs_real_bs4_lxml(corpus_dir):
 # never raise, and its outputs must honor the structural contract
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 _html_ish = st.one_of(
@@ -98,6 +98,8 @@ _html_ish = st.one_of(
 
 
 @settings(max_examples=300, deadline=None)
+@example(payload=b"<![>")  # stdlib parse_marked_section asserted on this
+@example(payload=b"<![CDATA[a>b]]>c")  # bogus-comment rule: text 'b]]>c'
 @given(_html_ish)
 def test_extractor_never_raises_and_honors_contract(payload):
     got = extract_page("http://f.test/a/b.html", payload)
@@ -186,6 +188,10 @@ _structured_html = st.recursive(
 
 
 @settings(max_examples=400, deadline=None)
+@example(doc="<a")  # unterminated tag at EOF: dropped, not text
+@example(doc="<b&")  # masked '&' must not break tag recovery
+@example(doc="<![CDATA[a>b]]>c")  # libxml2 bogus comment ends at first '>'
+@example(doc='pre<b& href="x>y"')  # unterminated quote swallows to EOF
 @given(_structured_html)
 def test_independent_impl_agrees_on_random_structured_html(doc):
     payload = doc.encode("utf-8")

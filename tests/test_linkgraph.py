@@ -1,0 +1,141 @@
+"""Anchor-text link graph: extractor capture + operator + fixture drift gate.
+
+The committed resources/crawl_state/links.parquet is the production
+``anchor_edges`` operator's output over the fixture crawl's OK pages
+(tools/gen_crawl_state.py links_table). Like the frontier fixture, it must
+never drift from what the engine + extractor produce today.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from spacetime_crawler4_spark.functions.htmltext import extract_page
+from spacetime_crawler4_spark.operators.linkgraph import (
+    anchor_edges,
+    anchor_summary,
+    anchor_term_index,
+    domain_graph,
+)
+from spacetime_crawler4_spark.queries import _CRAWL_LINKS_PARQUET
+
+
+def _anchors(html: str, url: str = "http://h.test/p/"):
+    return list(extract_page(url, html.encode()).anchors)
+
+
+class TestCollectorAnchors:
+    def test_basic_with_markup_inside(self):
+        assert _anchors('<a href="/x">go <b>deep</b> now</a>') == [
+            ("http://h.test/x", "go deep now")
+        ]
+
+    def test_new_anchor_implicitly_closes_open_one(self):
+        got = _anchors('<a href="/x">first <a href="/y">second</a>')
+        assert got == [
+            ("http://h.test/x", "first"),
+            ("http://h.test/y", "second"),
+        ]
+
+    def test_anchor_open_at_eof_keeps_text(self):
+        assert _anchors('<a href="/x">tail text') == [
+            ("http://h.test/x", "tail text")
+        ]
+
+    def test_self_closing_anchor_empty_text(self):
+        assert _anchors('<a href="/x"/>after') == [("http://h.test/x", "")]
+
+    def test_href_entities_decoded_and_dst_normalized(self):
+        got = _anchors('<a href="/x?a=1&amp;b=2#frag">t</a>')
+        assert got == [("http://h.test/x?a=1&b=2", "t")]
+
+    def test_script_text_inside_anchor_excluded(self):
+        got = _anchors('<a href="/x">vis<script>var hidden;</script>ible</a>')
+        assert got == [("http://h.test/x", "vis ible")]
+
+    def test_anchor_without_href_ignored(self):
+        assert _anchors("<a name=top>not a link</a>") == []
+
+    def test_bare_href_missing_stays_out_while_stray_end_ignored(self):
+        assert _anchors("</a>text<a>more</a>") == []
+
+    def test_text_extraction_untouched_by_anchor_capture(self):
+        ex = extract_page(
+            "http://h.test/", b'<p>a</p><a href="/x">b</a><p>c</p>'
+        )
+        assert ex.text == "a\nb\nc"
+        assert ex.links == ["http://h.test/x"]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://s1.test/",
+                b'<a href="/a">home page</a><a href="http://s2.test/a">away</a>'
+                b'<a href="/a">home page</a>',
+            ),
+            ("http://s2.test/", b'<a href="http://s1.test/a">home page</a>'),
+            ("http://s3.test/", b"<p>no links</p>"),
+        ],
+        "url string, html binary",
+    )
+    return anchor_edges(pages).cache()
+
+
+class TestOperators:
+    def test_edges_rows_and_positions(self, edges):
+        rows = {(r.src_url, r.pos): (r.dst_url, r.anchor_text) for r in edges.collect()}
+        assert rows[("http://s1.test/", 0)] == ("http://s1.test/a", "home page")
+        assert rows[("http://s1.test/", 1)] == ("http://s2.test/a", "away")
+        assert rows[("http://s1.test/", 2)] == ("http://s1.test/a", "home page")
+        assert len(rows) == 4  # s3 contributes nothing
+
+    def test_summary_modal_anchor_and_degrees(self, edges):
+        s = {r.dst_url: r for r in anchor_summary(edges).collect()}
+        a = s["http://s1.test/a"]
+        assert (a.in_degree, a.n_src_pages, a.n_src_hosts) == (3, 2, 2)
+        assert a.top_anchor == "home page"
+
+    def test_summary_tie_breaks_on_text_asc(self, spark):
+        e = spark.createDataFrame(
+            [("s", "h", 0, "d", "h2", "zeta"), ("s2", "h", 0, "d", "h2", "alpha")],
+            "src_url string, src_domain string, pos int, dst_url string,"
+            " dst_domain string, anchor_text string",
+        )
+        assert anchor_summary(e).collect()[0].top_anchor == "alpha"
+
+    def test_domain_graph(self, edges):
+        g = {(r.src_domain, r.dst_domain): r for r in domain_graph(edges).collect()}
+        assert g[("http://s1.test", "http://s1.test")].n_edges == 2
+        assert g[("http://s1.test", "http://s1.test")].n_targets == 1
+        assert g[("http://s2.test", "http://s1.test")].n_edges == 1
+
+    def test_term_index_counts_mentions_and_hosts(self, edges):
+        t = {(r.dst_url, r.term): r for r in anchor_term_index(edges).collect()}
+        home = t[("http://s1.test/a", "home")]
+        assert (home.n_mentions, home.n_hosts) == (3, 2)
+        assert t[("http://s2.test/a", "away")].n_mentions == 1
+
+    def test_plan_is_arrow_batched(self, edges):
+        plan = edges._sc._jvm.PythonSQLUtils.explainString(
+            edges._jdf.queryExecution(), "formatted"
+        )
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_committed_links_match_fresh_extraction(spark, corpus_dir):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_crawl_state import crawl_state_table, links_table
+
+    frontier = crawl_state_table(spark, corpus_dir)
+    fresh = links_table(spark, corpus_dir, frontier)
+    committed = pq.read_table(_CRAWL_LINKS_PARQUET)
+    assert committed.column_names == fresh.column_names
+    assert committed.num_rows == fresh.num_rows
+    for c in fresh.column_names:
+        assert committed[c].to_pylist() == fresh[c].to_pylist(), f"column {c} drifted"

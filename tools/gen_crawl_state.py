@@ -32,6 +32,7 @@ OUT = (
     / "crawl_state"
     / "frontier.parquet"
 )
+LINKS_OUT = OUT.parent / "links.parquet"
 
 
 def crawl_state_table(spark, corpus_dir: str):
@@ -87,6 +88,36 @@ def crawl_state_table(spark, corpus_dir: str):
     return pa.table({c: [r[c] for r in rows] for c in cols})
 
 
+def links_table(spark, corpus_dir: str, frontier_tbl):
+    """Anchor-text edges of the fixture crawl's OK pages, via the production
+    ``anchor_edges`` operator (operators/linkgraph.py) — so the committed
+    fixture IS the operator's output, not a parallel reimplementation.
+    Sources = frontier rows with status=2 (downloaded) & finish=0 (admitted),
+    joined back to the corpus html. Sorted (src_url, pos) for byte-stable
+    output."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4_spark.operators.linkgraph import anchor_edges
+
+    ok = {
+        u
+        for u, s, f in zip(
+            frontier_tbl["url"].to_pylist(),
+            frontier_tbl["status"].to_pylist(),
+            frontier_tbl["finish"].to_pylist(),
+        )
+        if s == 2 and f == 0
+    }
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet").filter(
+        F.col("url").isin(sorted(ok))
+    )
+    rows = anchor_edges(pages).orderBy("src_url", "pos").collect()
+    cols = rows[0].asDict().keys() if rows else []
+    return pa.table({c: [r[c] for r in rows] for c in cols})
+
+
 def main() -> None:
     import pyarrow.parquet as pq
 
@@ -103,9 +134,12 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         write_corpus(td)
         tbl = crawl_state_table(spark, td)
+        links = links_table(spark, td, tbl)
     OUT.parent.mkdir(parents=True, exist_ok=True)
     pq.write_table(tbl, OUT, compression="zstd")
     print(f"wrote {OUT} rows={tbl.num_rows}")
+    pq.write_table(links, LINKS_OUT, compression="zstd")
+    print(f"wrote {LINKS_OUT} rows={links.num_rows}")
 
 
 if __name__ == "__main__":
