@@ -495,3 +495,61 @@ def bigram_bits_per_token(
             F.round(F.avg("backed_off"), 6).alias("backoff_rate"),
         )
     )
+
+
+ZIPF_TOP_RANKS = 200  # fit window: the head of the rank-frequency curve
+
+
+def zipf_fit(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_ranks: int = ZIPF_TOP_RANKS,
+) -> DataFrame:
+    """Per-group Zipf power-law fit over the token rank-frequency curve —
+    the corpus-health audit a webtext pipeline runs per language/source
+    (natural text follows ln(freq) ≈ a − s·ln(rank) with s ≈ 1; boilerplate
+    and spam bend the curve). Closed-form OLS of y=ln(cnt) on x=ln(rank)
+    over the top ``top_ranks`` words (rank = count desc, word asc — the
+    deterministic election every oracle shares):
+
+      slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),  intercept = (Σy − s·Σx)/n
+      r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Shuffle shape at 100 TB: one (group, word) partial-aggregated count
+    shuffle; the rank window partitions by group and touches only the
+    counted table (vocab-sized, not corpus-sized); the fit is a per-group
+    five-sum aggregate. No collect, no global sort.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(group_col, F.explode(sql_tokens(F.col(text_col))).alias("word"))
+        .groupBy(group_col, "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = counts.select(
+        group_col,
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= top_ranks)
+    s = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    den_x = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    den_y = s["n"] * s["syy"] - s["sy"] * s["sy"]
+    return s.select(
+        group_col,
+        F.col("n").alias("n_ranks"),
+        F.round(num / den_x, 6).alias("slope"),
+        F.round((s["sy"] - (num / den_x) * s["sx"]) / s["n"], 6).alias("intercept"),
+        F.round((num * num) / (den_x * den_y), 6).alias("r2"),
+    )

@@ -2067,6 +2067,49 @@ ORDER BY n_mentions DESC, dst_url ASC, term ASC LIMIT 30
 """
 
 
+_ANCHOR_BM25_TERMS = ("item", "hub", "section")
+
+
+def q_crawl_links_anchor_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-field BM25: rank link-graph targets for a query bag scored
+    over their incoming anchor text — the web-search signal that made
+    anchor indexing famous (a target is described by the text OTHERS link
+    it with). The field document per target is the union of its anchors:
+    operators/ranking.bm25_scores with id_col=dst_url over the edge rows
+    merges tf/dl per target in its existing aggregations — no concat, no
+    second operator."""
+    from spacetime_crawler4_spark.operators.ranking import bm25_scores
+
+    return (
+        bm25_scores(
+            _crawl_links(spark),
+            _ANCHOR_BM25_TERMS,
+            id_col="dst_url",
+            text_col="anchor_text",
+        )
+        .select("dst_url", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("dst_url"))
+        .limit(15)
+    )
+
+
+SQL_CRAWL_LINKS_BM25 = f"""
+WITH toks AS (SELECT dst_url, unnest({_DUCK_ANCHOR_TOKS}) AS term
+              FROM '{_CRAWL_LINKS_PARQUET}'),
+dl AS (SELECT dst_url, count(*) AS dl FROM toks GROUP BY dst_url),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT dst_url, term, count(*) AS tf FROM toks
+       WHERE term IN ('item', 'hub', 'section') GROUP BY dst_url, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT dst_url,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * (dl / avgdl)))), 6) AS bm25
+FROM tf JOIN dl USING (dst_url) JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY dst_url ORDER BY bm25 DESC, dst_url LIMIT 15
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plane (binary payload plumbing; stubbed decode)
 # --------------------------------------------------------------------------
@@ -3728,6 +3771,99 @@ FROM pd ORDER BY doc_id
 """
 
 
+def q_text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (operators/classify.py):
+    train on documents.lang with Laplace smoothing, score every document,
+    emit the argmax label, top-2 margin, and agreement with the training
+    label — the classifier-filter step of the CCNet/GPT-3-style pipeline,
+    expressed as three aggregations plus one model join."""
+    from spacetime_crawler4_spark.operators.classify import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_classify(docs, label_col="lang").orderBy("doc_id")
+
+
+SQL_TEXT_NB_LANGID = f"""
+WITH dw AS (
+  SELECT doc_id, word, count(*) AS n_dw FROM (
+    SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+labeled AS (SELECT dw.*, d.lang AS label FROM dw JOIN documents d USING (doc_id)),
+classes AS (SELECT lang AS label, count(*) AS n_docs_c FROM documents GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+wc AS (SELECT label, word, CAST(sum(n_dw) AS BIGINT) AS cnt
+       FROM labeled GROUP BY label, word),
+tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM wc GROUP BY label),
+voc AS (SELECT count(DISTINCT word) AS vocab FROM dw),
+grid AS (SELECT dw.doc_id, dw.word, dw.n_dw, c.label
+         FROM dw CROSS JOIN (SELECT label FROM classes) c),
+contrib AS (
+  SELECT doc_id, label,
+         sum(n_dw * ln(coalesce(cnt, 0) + 1.0)) AS ll_num,
+         CAST(sum(n_dw) AS BIGINT) AS n_tok
+  FROM grid LEFT JOIN wc USING (label, word) GROUP BY doc_id, label
+),
+priors AS (
+  SELECT label, ln(CAST(n_docs_c AS DOUBLE) / n_docs) AS log_prior,
+         ln(tot + vocab * 1.0) AS log_denom
+  FROM classes JOIN tot USING (label) CROSS JOIN nd CROSS JOIN voc
+),
+scores AS (
+  SELECT d.doc_id, p.label,
+         p.log_prior + coalesce(c.ll_num, 0.0)
+           - coalesce(c.n_tok, 0) * p.log_denom AS score
+  FROM (SELECT doc_id FROM documents) d CROSS JOIN priors p
+  LEFT JOIN contrib c USING (doc_id, label)
+),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER w AS rn, lead(score) OVER w AS runner_up
+  FROM scores WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, label ASC)
+)
+SELECT r.doc_id, r.label AS pred_label,
+       round(r.score - r.runner_up, 6) AS margin,
+       CAST(r.label = d.lang AS INTEGER) AS correct
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf power-law fit over the token rank-frequency head
+    (operators/textstats.zipf_fit): closed-form OLS slope/intercept/r² of
+    ln(freq) on ln(rank) — the corpus-health audit (natural text slopes
+    ≈ −1; boilerplate/spam bend the curve)."""
+    from spacetime_crawler4_spark.operators.textstats import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, group_col="lang").orderBy("lang")
+
+
+SQL_TEXT_ZIPF = f"""
+WITH counts AS (
+  SELECT lang, word, count(*) AS cnt FROM (
+    SELECT lang, unnest({_DUCK_TOKS}) AS word FROM documents)
+  GROUP BY lang, word
+),
+ranked AS (
+  SELECT lang, ln(CAST(row_number() OVER w AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y, row_number() OVER w AS rank
+  FROM counts WINDOW w AS (PARTITION BY lang ORDER BY cnt DESC, word ASC)
+),
+s AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM ranked WHERE rank <= 200 GROUP BY lang)
+SELECT lang, n AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s ORDER BY lang
+"""
+
+
 def q_text_bigram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram Stupid-Backoff LM scoring (Brants et al. 2007): model
     counts from the TRAIN split (doc_id % 10 != 7, the same eval-split
@@ -4318,9 +4454,6 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "sketch_cms_heavy_hitters": (q_sketch_cms_heavy_hitters, _sql_sketch_cms()),
         "sketch_hll_union": (q_sketch_hll_union, _sql_sketch_hll_union()),
         # --- last driver-checked in r1/r2, due a re-check ---
-        "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
-        "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
-        "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         # --- new round-4 crawl-state queries (real engine output) ---
         "crawl_state_finish_histogram": (
             q_crawl_state_finish_histogram,
@@ -4345,6 +4478,12 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_crawl_links_anchor_terms,
             SQL_CRAWL_LINKS_TERMS,
         ),
+        "crawl_links_anchor_bm25": (
+            q_crawl_links_anchor_bm25,
+            SQL_CRAWL_LINKS_BM25,
+        ),
+        "text_nb_langid": (q_text_nb_langid, SQL_TEXT_NB_LANGID),
+        "text_zipf": (q_text_zipf, SQL_TEXT_ZIPF),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
         # --- round-4 session-2 additions: real PNG/AVI codecs + DSIR ---
         "multimodal_png_roundtrip": (q_multimodal_png_roundtrip, SQL_MULTIMODAL_PNG),
@@ -4362,6 +4501,9 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         #     make room for the session-4 link-graph queries (local oracle
         #     gate still applies to every one of these) ---
         "report_top50_words": (q_report_top50_words, SQL_REPORT_TOP50),
+        "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
+        "crawl_top50_parity_tokens": (q_crawl_top50_parity_tokens, _sql_crawl_top50()),
+        "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_bmp_roundtrip": (q_multimodal_bmp_roundtrip, SQL_MULTIMODAL_BMP),
         "multimodal_wav_roundtrip": (q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
