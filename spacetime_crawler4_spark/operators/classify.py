@@ -54,7 +54,11 @@ def nb_scores(
     same frame (the in-corpus fit a pipeline audits before applying the
     model to unlabeled data — split-train variants are a filter away).
     Empty-token docs score on priors alone."""
-    dw = _doc_word_counts(docs, id_col, text_col)
+    # dw is consumed three times (model counts, vocab size, scoring grid):
+    # materialize the tokenize+count once. On a cluster this is persist()
+    # or a staging table; the explode it avoids re-running is the
+    # corpus-sized stage.
+    dw = _doc_word_counts(docs, id_col, text_col).localCheckpoint(eager=True)
     labeled = dw.join(
         docs.select(id_col, F.col(label_col).alias("label")), id_col
     )
