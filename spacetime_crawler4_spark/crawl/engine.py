@@ -140,7 +140,10 @@ class CrawlEngine:
         self.link_meta_udf = make_link_meta_udf(self.cfg.whitelist)
         # fused text-plane UDF at the configured fingerprint width (32 =
         # reference parity; 64 = production plane, BASELINE.md scale notes)
-        self.features_udf = make_crawl_features_udf(self.cfg.simhash_bits)
+        self.features_udf = make_crawl_features_udf(
+            self.cfg.simhash_bits, with_anchors=self.cfg.links_out is not None
+        )
+        self._wave_links: DataFrame | None = None
         self.robots_parse_udf = make_robots_parse_udf(self.cfg.user_agent)
         self.can_fetch_udf = make_can_fetch_udf(self.cfg.user_agent)
         self.metrics: list[dict] = []
@@ -641,6 +644,31 @@ class CrawlEngine:
             )
         )
         ok_rows = good.join(sim_dup_hashes, "urlhash", "left_anti")
+
+        # ---- anchor-text link sink (CrawlConfig.links_out): admitted
+        # pages' anchor arrays (already parsed — pp is cached) zipped back
+        # into one edge row per <a href>. Written by run() after the wave
+        # materializes; schema == operators/linkgraph.EDGE_SCHEMA + wave.
+        if self.cfg.links_out is not None:
+            self._wave_links = ok_rows.select(
+                F.col("url").alias("src_url"),
+                F.col("domain").alias("src_domain"),
+                F.posexplode(
+                    F.arrays_zip(
+                        F.col("feat.anchor_dst"),
+                        F.col("feat.anchor_txt"),
+                        F.col("feat.anchor_dom"),
+                    )
+                ).alias("pos", "z"),
+            ).select(
+                "src_url",
+                "src_domain",
+                "pos",
+                F.col("z.anchor_dst").alias("dst_url"),
+                F.col("z.anchor_dom").alias("dst_domain"),
+                F.col("z.anchor_txt").alias("anchor_text"),
+                F.lit(self.wave_no).alias("wave"),
+            )
 
         # ---- link expansion (W3 + C9/C10 + F4-F6) for OK content+sitemap
         expand_src = ok_rows.select(
@@ -1288,6 +1316,13 @@ class CrawlEngine:
             counters["n_wave"] = n
             counters.update({k: v for k, v in obs.get.items() if v})
             counters["n_inserts"] = obs_ins.get["n_inserts"]
+            # anchor-edge append AFTER the frontier materialization: pp's
+            # cache is hot, so this re-scans cached pages, not the parse.
+            # Per-wave parquet appends are the staging-table shape — at
+            # cluster scale this is an Iceberg append on (wave) partitions.
+            if self.cfg.links_out is not None and self._wave_links is not None:
+                self._wave_links.write.mode("append").parquet(self.cfg.links_out)
+                self._wave_links = None
             self._frontier_rows += counters["n_inserts"]
             self._advance_seen_sketch(inserts_cached, int(counters["n_inserts"]))
             self.metrics.append(counters)

@@ -52,6 +52,15 @@ def main(argv: list[str] | None = None) -> dict:
         "only waves still in the retained base+delta chain are readable",
     )
     ap.add_argument(
+        "--links-out",
+        default=None,
+        metavar="DIR",
+        help="append the admitted pages' anchor-text edges (src_url, "
+        "src_domain, pos, dst_url, dst_domain, anchor_text, wave) as "
+        "parquet under DIR — the crawl-time anchor index "
+        "(operators/linkgraph consumes this shape)",
+    )
+    ap.add_argument(
         "--step",
         action="store_true",
         help="manual step mode (reference launchman.py / crawlerman): run "
@@ -103,6 +112,7 @@ def main(argv: list[str] | None = None) -> dict:
         wave_seconds=args.wave_seconds,
         global_budget=args.global_budget,
         max_waves=1 if args.step else args.max_waves,
+        links_out=args.links_out,
     )
     eng = CrawlEngine(spark, args.pages, args.robots, seeds, cfg, state_dir=args.state)
     t0 = time.time()

@@ -190,6 +190,14 @@ class CrawlConfig:
     # (the vectorized path is linear in wave x masters hashes). 0 disables
     # the guard. Irrelevant at bits=64 — the guard never fires there.
     simhash32_banded_max: int = 100_000
+    # anchor-text link sink: when set, every wave appends the admitted
+    # pages' anchor edges (src_url, src_domain, pos, dst_url, dst_domain,
+    # anchor_text, wave) as parquet under this path — the crawl-time
+    # anchor index. The anchors ride the SAME fused parse UDF (zero extra
+    # extraction; operators/textplane.ANCHOR_FIELDS); None (default)
+    # keeps the feature struct and the wave plan byte-identical to the
+    # parity configuration.
+    links_out: str | None = None
 
     def domain_budget(self, crawl_delay: float | None) -> int | None:
         if self.wave_seconds is None:

@@ -139,3 +139,46 @@ def test_committed_links_match_fresh_extraction(spark, corpus_dir):
     assert committed.num_rows == fresh.num_rows
     for c in fresh.column_names:
         assert committed[c].to_pylist() == fresh[c].to_pylist(), f"column {c} drifted"
+
+
+def test_engine_links_sink_equals_posthoc_extraction(
+    spark, corpus_dir, tmp_path_factory
+):
+    """CrawlConfig.links_out: the edges the ENGINE emits from its fused
+    parse (zero extra extraction) must equal operators/linkgraph.anchor_edges
+    run post-hoc over the same admitted pages — row for row, position for
+    position. Also pins the edge contract: admitted pages only (status=2,
+    finish=0), one row per <a href>, dst normalized like frontier links."""
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4_spark.crawl.engine import CrawlEngine
+    from spacetime_crawler4_spark.crawl.schema import CrawlConfig
+    from spacetime_crawler4_spark.operators.linkgraph import anchor_edges
+    from spacetime_crawler4_spark.sources.fixture import FIXTURE_WHITELIST, SEED_URLS
+
+    links_dir = str(tmp_path_factory.mktemp("links") / "edges")
+    eng = CrawlEngine(
+        spark,
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        SEED_URLS,
+        CrawlConfig(whitelist=FIXTURE_WHITELIST, links_out=links_dir),
+    )
+    frontier = eng.run()
+
+    got = spark.read.parquet(links_dir)
+    key = ["src_url", "pos", "dst_url", "dst_domain", "src_domain", "anchor_text"]
+    got_rows = [tuple(r) for r in got.select(*key).orderBy(*key).collect()]
+
+    admitted = frontier.filter((F.col("status") == 2) & (F.col("finish") == 0))
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet").join(
+        admitted.select("url"), "url", "left_semi"
+    )
+    want = anchor_edges(pages)
+    want_rows = [tuple(r) for r in want.select(*key).orderBy(*key).collect()]
+
+    assert len(got_rows) > 0
+    assert got_rows == want_rows
+    # the per-wave append carried the wave column and >1 wave contributed
+    waves = {r.wave for r in got.select("wave").distinct().collect()}
+    assert len(waves) > 1
