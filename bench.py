@@ -79,6 +79,7 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "text_unigram_ppx",
     "text_chunk_windows",
+    "text_nb_langid",
     "tpch_pricing",
     "tpch_top_customers",
 ]
