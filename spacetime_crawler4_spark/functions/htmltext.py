@@ -283,6 +283,37 @@ class _Collector(HTMLParser):
                 self.set_cdata_mode(tag)
         return endpos
 
+    def parse_endtag(self, i: int) -> int:
+        # libxml2-faithful end tag (htmlParseEndTag), replacing the stdlib
+        # one whose html5 name rule runs to whitespace/'>' — '</a</i>' is
+        # endtag 'a<' to the stdlib but endtag 'a' (junk skipped to the
+        # first '>') to libxml2, which mis-keys every tag == 'x' check.
+        # Grammar: '</' + NAME, then skip blindly to the first '>' (end
+        # tags have no quote awareness); '</>' or '</3' consume to '>'
+        # and emit nothing; no '>' before EOF leaves the construct
+        # buffered (dropped at EOF like every unterminated construct).
+        rawdata = self.rawdata
+        if self.cdata_elem is not None:
+            # raw-text (script/style) closes ONLY on '</name[ws]*>' — a
+            # candidate like '</scriptx>' or '</ script>' stays content
+            m = re.compile(rf"</{re.escape(self.cdata_elem)}\s*>", re.I).match(
+                rawdata, i
+            )
+            if not m:
+                self.handle_data(rawdata[i : i + 2])
+                return i + 2
+            tag = self.cdata_elem
+            self.clear_cdata_mode()
+            self.handle_endtag(tag)
+            return m.end()
+        gtpos = rawdata.find(">", i + 2)
+        if gtpos < 0:
+            return -1  # unterminated: buffered, dropped at EOF
+        m = _HNAME_RE.match(rawdata, i + 2)
+        if m:
+            self.handle_endtag(m.group(0).lower())
+        return gtpos + 1
+
     def parse_marked_section(self, i: int, report: int = 1) -> int:
         # '<![...': libxml2 (and html5's bogus-comment rule) skips to the
         # FIRST '>' — '<![CDATA[a>b]]>c' leaves 'b]]>c' as text. The

@@ -199,31 +199,55 @@ def _tokenize(text: str):
             i = mm.end()
 
 
-def oracle_extract(url: str, content_text: str) -> tuple[list[str], list[str]]:
-    """(sorted links, stripped text fragments) per the documented spec —
-    the independent twin of htmltext.extract_page's HTML branch. Takes
-    already-decoded text so byte-decoding (shared, table-driven) stays
-    out of the differential."""
+def oracle_extract_full(
+    url: str, content_text: str
+) -> tuple[list[str], list[str], list[tuple[str, str]]]:
+    """(sorted links, stripped text fragments, anchors) per the documented
+    spec — the independent twin of htmltext.extract_page's HTML branch.
+    Takes already-decoded text so byte-decoding (shared, table-driven)
+    stays out of the differential. Anchor spec (mirrored independently):
+    a new ``<a>`` implicitly closes an open one; ``</a>`` and EOF close
+    keeping the text; the text is the space-join of the visible fragments
+    emitted while the anchor was open; only ``<a>`` carrying an href
+    opens one; a self-closed ``<a href=x/>`` yields empty text."""
     # libxml2 rejects \x00/\x01 in char data (IS_CHAR); the production
     # extractor strips them pre-parse (\x01 doubles as its '&' mask), and
     # the twin must make the identical up-front decision
     content_text = content_text.replace("\x00", "").replace("\x01", "")
     fragments: list[str] = []
     hrefs: list[str] = []
+    anchors: list[tuple[str, str]] = []
+    a_href: str | None = None
+    a_start = 0
     stack: list[str] = []
+
+    def close_anchor() -> None:
+        nonlocal a_href
+        if a_href is not None:
+            anchors.append((a_href, " ".join(fragments[a_start:])))
+            a_href = None
+
     for ev in _tokenize(content_text):
         kind = ev[0]
         if kind == "start":
             _, tag, attrs, selfclosing = ev
             if tag == "a":
+                close_anchor()
                 for name, value in attrs:
                     if name == "href" and value is not None:
-                        hrefs.append(_decode(value))
+                        h = _decode(value)
+                        hrefs.append(h)
+                        a_href = h
+                        a_start = len(fragments)
                         break
+                if selfclosing:
+                    close_anchor()
             if tag not in _VOID and not selfclosing:
                 stack.append(tag)
         elif kind == "end":
             tag = ev[1]
+            if tag == "a":
+                close_anchor()
             if tag in stack:
                 while stack:
                     if stack.pop() == tag:
@@ -234,5 +258,15 @@ def oracle_extract(url: str, content_text: str) -> tuple[list[str], list[str]]:
             s = _decode(ev[1]).strip()
             if s:
                 fragments.append(s)
+    close_anchor()  # anchor open at EOF keeps its text
     links = {normalize_url(urldefrag(urljoin(url, h)).url) for h in hrefs}
-    return sorted(links), fragments
+    resolved = [
+        (normalize_url(urldefrag(urljoin(url, h)).url), t) for h, t in anchors
+    ]
+    return sorted(links), fragments, resolved
+
+
+def oracle_extract(url: str, content_text: str) -> tuple[list[str], list[str]]:
+    """Two-tuple compatibility wrapper around oracle_extract_full."""
+    links, fragments, _ = oracle_extract_full(url, content_text)
+    return links, fragments

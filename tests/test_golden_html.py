@@ -130,15 +130,19 @@ def test_extractor_never_raises_and_honors_contract(payload):
 # ---------------------------------------------------------------------------
 
 from spacetime_crawler4_spark.functions.htmltext import _decode_html
-from spacetime_crawler4_spark.functions.htmltext_oracle import oracle_extract
+from spacetime_crawler4_spark.functions.htmltext_oracle import (
+    oracle_extract,
+    oracle_extract_full,
+)
 
 
 @pytest.mark.parametrize("name,url,html,_f,_l", VECTORS, ids=[v[0] for v in VECTORS])
 def test_independent_impl_agrees_on_vectors(name, url, html, _f, _l):
     prod = extract_page(url, html)
-    links, frags = oracle_extract(url, _decode_html(html))
+    links, frags, anchors = oracle_extract_full(url, _decode_html(html))
     assert prod.text_fragments == frags
     assert prod.links == links
+    assert list(prod.anchors) == anchors
 
 
 def test_independent_impl_agrees_on_fixture_corpus(corpus_dir):
@@ -152,9 +156,10 @@ def test_independent_impl_agrees_on_fixture_corpus(corpus_dir):
         if r["html"] is None or "html" not in (r["content_type"] or ""):
             continue
         prod = extract_page(r["url"], r["html"], r["content_type"])
-        links, frags = oracle_extract(r["url"], _decode_html(r["html"]))
+        links, frags, anchors = oracle_extract_full(r["url"], _decode_html(r["html"]))
         assert prod.text_fragments == frags, r["url"]
         assert prod.links == links, r["url"]
+        assert list(prod.anchors) == anchors, r["url"]
         checked += 1
     assert checked > 100
 
@@ -179,6 +184,10 @@ _structured_html = st.recursive(
             )
         ),
         st.tuples(inner, inner).map(lambda t: t[0] + t[1]),
+        # anchor edge shapes: unclosed <a> (implicit close by the next <a>
+        # or EOF) and stray </a> — the anchor-capture differential's food
+        inner.map(lambda s: f'<a href="/i{hash(s) % 5}">{s}'),
+        inner.map(lambda s: f"{s}</a>"),
         inner.map(lambda s: f"<!-- {s.replace('-', '')} -->"),
         inner.map(lambda s: f"<script>var x = '{s}';</script>"),
         inner.map(lambda s: f"<style>.c {{ content: '{s}' }}</style>"),
@@ -192,13 +201,19 @@ _structured_html = st.recursive(
 @example(doc="<b&")  # masked '&' must not break tag recovery
 @example(doc="<![CDATA[a>b]]>c")  # libxml2 bogus comment ends at first '>'
 @example(doc='pre<b& href="x>y"')  # unterminated quote swallows to EOF
+@example(doc='<a href=/l1>x</a</i!<p n="v">y</a>z')  # endtag name stops at '<'
+@example(doc="<a href=/1>t</a")  # unterminated END tag at EOF: dropped
+@example(doc="<script>a</scriptx></script>b")  # rawtext close needs exact name
 @given(_structured_html)
 def test_independent_impl_agrees_on_random_structured_html(doc):
     payload = doc.encode("utf-8")
     prod = extract_page("http://f.test/a/b.html", payload)
-    links, frags = oracle_extract("http://f.test/a/b.html", _decode_html(payload))
+    links, frags, anchors = oracle_extract_full(
+        "http://f.test/a/b.html", _decode_html(payload)
+    )
     assert prod.text_fragments == frags, doc
     assert prod.links == links, doc
+    assert list(prod.anchors) == anchors, doc
 
 
 _CAPTURE = os.path.join(os.path.dirname(__file__), "bs4_golden_capture.json")
