@@ -235,3 +235,34 @@ def test_vectors_match_committed_real_stack_capture():
         got = extract_page(url, html)
         assert got.text_fragments == rec["fragments"], name
         assert got.links == rec["links"], name
+
+
+def test_soak_generator_sample_agrees():
+    """A fixed-seed slice of the adversarial soak generator
+    (tools/soak_extractor.py — heavier malformed-markup grammar than the
+    hypothesis strategies above) runs inside the suite so the
+    production/twin agreement on fragments+links+ANCHORS keeps standing
+    pressure; the tool itself scales the same check to 10^5-10^6 docs."""
+    import random
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from soak_extractor import _rand_doc
+
+    from spacetime_crawler4_spark.functions.htmltext_oracle import (
+        oracle_extract_full,
+    )
+
+    rng = random.Random(4242)
+    url = "http://soak.test/d/p.html"
+    n_anchors = 0
+    for _ in range(4000):
+        payload = _rand_doc(rng).encode("utf-8", "surrogatepass")
+        prod = extract_page(url, payload)
+        links, frags, anchors = oracle_extract_full(url, _decode_html(payload))
+        assert prod.text_fragments == frags
+        assert prod.links == links
+        assert list(prod.anchors) == anchors
+        n_anchors += len(anchors)
+    assert n_anchors > 1000  # the grammar genuinely exercises anchors
