@@ -326,10 +326,19 @@ def build_corpus(scale: int = 1) -> tuple[list[Page], list[dict], list[str]]:
 
 
 def write_corpus(out_dir: str, scale: int = 1) -> dict[str, int]:
+    pages, robots_rows, seeds = build_corpus(scale)
+    return write_tables(out_dir, pages, robots_rows, seeds)
+
+
+def write_tables(
+    out_dir: str, pages: list[Page], robots_rows: list[dict], seeds: list[str]
+) -> dict[str, int]:
+    """Write any (pages, robots, seeds) triple in the corpus parquet shape —
+    shared by the fixed fixture corpus above and the randomized corpora of
+    tools/soak_crawl.py."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    pages, robots_rows, seeds = build_corpus(scale)
 
     dedup: dict[str, Page] = {}
     for p in pages:
