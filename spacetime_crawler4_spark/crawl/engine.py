@@ -306,6 +306,36 @@ class CrawlEngine:
         )
 
     # ----------------------------------------------------- wave selection
+    def _priority_keys(self, p: DataFrame) -> tuple[DataFrame, list]:
+        """Frontier priority-queue ordering (CrawlConfig.frontier_policy):
+        returns ``p`` (with the rank join applied for domain_rank) and the
+        ordering keys the budgeted selection pops by. FIFO keys always
+        trail as the deterministic tie-break, so every policy is a total
+        order and the salted two-phase top-B argument below still holds
+        (any within-domain total order does)."""
+        pol = self.cfg.frontier_policy
+        keys: list = []
+        if pol == "shallow":
+            keys = [F.col("absdepth")]
+        elif pol == "deep":
+            keys = [F.col("absdepth").desc()]
+        elif pol == "domain_rank":
+            if self.cfg.priority_table is None:
+                raise ValueError(
+                    "frontier_policy='domain_rank' needs priority_table "
+                    "(parquet of domain:string, rank:double)"
+                )
+            ranks = self.spark.read.parquet(self.cfg.priority_table).select(
+                "domain", F.col("rank").cast("double").alias("_rank")
+            )
+            p = p.join(F.broadcast(ranks), "domain", "left").withColumn(
+                "_rank", F.coalesce(F.col("_rank"), F.lit(0.0))
+            )
+            keys = [F.col("_rank").desc()]
+        elif pol != "fifo":
+            raise ValueError(f"unknown frontier_policy {pol!r}")
+        return p, keys + [F.col("gen"), F.col("seq")]
+
     def _select_wave(self, pending: DataFrame) -> DataFrame:
         cfg = self.cfg
         if cfg.wave_seconds is None and cfg.global_budget is None:
@@ -313,6 +343,7 @@ class CrawlEngine:
         p = pending.join(
             self.domains.select("domain", "crawl_delay"), "domain", "left"
         )
+        p, order_keys = self._priority_keys(p)
         if cfg.wave_seconds is not None:
             delay = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay))
             delay = F.when(delay <= 0, cfg.default_delay).otherwise(delay)
@@ -328,10 +359,10 @@ class CrawlEngine:
             SALTS = 16
             salt = F.pmod(F.xxhash64("urlhash"), F.lit(SALTS))
             rn1 = F.row_number().over(
-                Window.partitionBy("domain", "_salt").orderBy("gen", "seq")
+                Window.partitionBy("domain", "_salt").orderBy(*order_keys)
             )
             rn2 = F.row_number().over(
-                Window.partitionBy("domain").orderBy("gen", "seq")
+                Window.partitionBy("domain").orderBy(*order_keys)
             )
             # the explicit repartition is load-bearing: with two stacked
             # windows Catalyst satisfies BOTH from one
@@ -354,7 +385,9 @@ class CrawlEngine:
             )
         p = p.drop("crawl_delay")
         if cfg.global_budget is not None:
-            p = p.orderBy("gen", "seq").limit(cfg.global_budget)
+            p = p.orderBy(*order_keys).limit(cfg.global_budget)
+        if self.cfg.frontier_policy == "domain_rank":
+            p = p.drop("_rank")
         return p
 
     # --------------------------------------------------------- wave body

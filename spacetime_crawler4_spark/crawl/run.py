@@ -61,6 +61,22 @@ def main(argv: list[str] | None = None) -> dict:
         "(operators/linkgraph consumes this shape)",
     )
     ap.add_argument(
+        "--policy",
+        default="fifo",
+        choices=["fifo", "shallow", "deep", "domain_rank"],
+        help="frontier priority-queue policy under politeness budgets "
+        "(CrawlConfig.frontier_policy): fifo = reference discovery order; "
+        "shallow/deep = depth best-first; domain_rank = host-authority-"
+        "first (needs --priority-table)",
+    )
+    ap.add_argument(
+        "--priority-table",
+        default=None,
+        metavar="PARQUET",
+        help="(domain, rank) parquet for --policy domain_rank — the "
+        "crawl_state_host_rank / linkgraph host-PageRank output shape",
+    )
+    ap.add_argument(
         "--step",
         action="store_true",
         help="manual step mode (reference launchman.py / crawlerman): run "
@@ -113,6 +129,8 @@ def main(argv: list[str] | None = None) -> dict:
         global_budget=args.global_budget,
         max_waves=1 if args.step else args.max_waves,
         links_out=args.links_out,
+        frontier_policy=args.policy,
+        priority_table=args.priority_table,
     )
     eng = CrawlEngine(spark, args.pages, args.robots, seeds, cfg, state_dir=args.state)
     t0 = time.time()

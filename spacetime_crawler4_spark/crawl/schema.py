@@ -140,6 +140,25 @@ class CrawlConfig:
     wave_seconds: float | None = None
     default_delay: float = 0.5  # config.ini:12 POLITENESS
     global_budget: int | None = None  # per-wave global cap (dpolmut analogue)
+    # frontier scheduling policy — the north rule's "priority queue"
+    # component. Under politeness budgets the frontier is a bounded
+    # scheduler; the policy is the priority function it pops by:
+    #   "fifo"        (gen, seq) discovery order — reference FIFO parity
+    #   "shallow"     (absdepth, gen, seq) — breadth-optimized best-first
+    #   "deep"        (-absdepth, gen, seq) — depth-greedy
+    #   "domain_rank" (-rank(domain), gen, seq) — host-authority-first;
+    #                 rank comes from priority_table, the host-PageRank
+    #                 shape crawl_state_host_rank / linkgraph emit
+    # Every policy is a deterministic total order (FIFO keys break ties).
+    # The policy changes only WHICH pending rows a budgeted wave selects
+    # (per-domain top-B and the global_budget cut); within-wave semantics
+    # — dedup elections, processing keys, depth recurrences — are
+    # untouched, so with no budgets every policy crawls identically.
+    frontier_policy: str = "fifo"
+    # parquet of (domain: string, rank: double) for frontier_policy=
+    # "domain_rank"; unranked domains default to rank 0.0. Broadcast into
+    # the selection join — host counts are bounded (~10^7 at 10^10 URLs).
+    priority_table: str | None = None
     max_retries: int = MAX_RETRIES
     max_waves: int = 64
     checkpoint_every: int = 1  # snapshot commit cadence (waves)

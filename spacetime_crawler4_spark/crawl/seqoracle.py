@@ -104,6 +104,17 @@ class SeqCrawler:
             r["domain"]: r for r in pq.read_table(robots_path).to_pylist()
         }
         self.seeds = seeds
+        # frontier priority queue (CrawlConfig.frontier_policy): domain
+        # ranks for the "domain_rank" policy, from the same parquet the
+        # engine broadcasts
+        self._ranks: dict[str, float] = {}
+        if config.frontier_policy == "domain_rank":
+            if config.priority_table is None:
+                raise ValueError("domain_rank needs priority_table")
+            self._ranks = {
+                r["domain"]: float(r["rank"])
+                for r in pq.read_table(config.priority_table).to_pylist()
+            }
         self.nap: dict[str, ONurl] = {}
         self.exdict: dict[str, str] = {}  # exhash -> master urlhash
         self.smlist: list[tuple[int, str]] = []  # (smhash, master urlhash), insertion order
@@ -314,7 +325,17 @@ class SeqCrawler:
                 and n.finish == FINISH.OK
                 and n.urlhash not in processed
             ]
-            pending.sort(key=lambda n: (n.gen, n.seq))
+            pol = self.cfg.frontier_policy
+            if pol == "shallow":
+                pending.sort(key=lambda n: (n.absdepth, n.gen, n.seq))
+            elif pol == "deep":
+                pending.sort(key=lambda n: (-n.absdepth, n.gen, n.seq))
+            elif pol == "domain_rank":
+                pending.sort(
+                    key=lambda n: (-self._ranks.get(n.domain, 0.0), n.gen, n.seq)
+                )
+            else:
+                pending.sort(key=lambda n: (n.gen, n.seq))
             if not pending:
                 break
             dom_taken: dict[str, int] = {}
@@ -331,6 +352,12 @@ class SeqCrawler:
                 taken.append(n)
             self.queue = []  # wave mode: sitemap inserts via backlog
             self._sitemap_backlog = []
+            # the priority policy decides WHICH rows enter the wave; the
+            # within-wave processing order — dup-master elections, robots
+            # trigger choice — is canonically the deterministic FIFO keys
+            # (the engine's window/election ordering), independent of the
+            # selection policy
+            taken.sort(key=lambda n: (n.gen, n.seq))
             for n in taken:
                 done = self._process(n, in_slot_retry=False)
                 if done:

@@ -208,7 +208,9 @@ def build_random_corpus(seed: int, with_retries: bool = True):
     return pages, robots_rows, seeds
 
 
-def run_seed(spark, seed: int, with_retries: bool) -> dict:
+def run_seed(
+    spark, seed: int, with_retries: bool, scheduling: dict | None = None
+) -> dict:
     """One corpus, one engine run, one oracle run, full row-state compare.
 
     Oracle mode follows the scheduling contract (see seqoracle.py
@@ -217,7 +219,11 @@ def run_seed(spark, seed: int, with_retries: bool) -> dict:
     match the wave-mode oracle (the engine's next-wave retry loopback
     shifts WHEN a retried page's dedup decision happens, which can flip
     near-dup master elections relative to single-threaded in-slot
-    retries — found by this soak, pinned in test_crawl_parity)."""
+    retries — found by this soak, pinned in test_crawl_parity).
+
+    ``scheduling`` (optional) = extra CrawlConfig knobs — randomized
+    politeness budgets + a frontier priority policy; forces wave-mode
+    oracle (budgeted selection is inherently wave-shaped)."""
     from spacetime_crawler4_spark.crawl.engine import CrawlEngine
     from spacetime_crawler4_spark.crawl.schema import CrawlConfig
     from spacetime_crawler4_spark.crawl.seqoracle import SeqCrawler
@@ -225,15 +231,16 @@ def run_seed(spark, seed: int, with_retries: bool) -> dict:
     pages, robots_rows, seeds = build_random_corpus(seed, with_retries)
     out = tempfile.mkdtemp(prefix=f"soakcrawl{seed}_")
     write_tables(out, pages, robots_rows, seeds)
-    cfg = CrawlConfig(whitelist=WHITELIST)
+    sched = scheduling or {}
+    cfg = CrawlConfig(whitelist=WHITELIST, **sched)
     eng = CrawlEngine(
         spark, f"{out}/pages.parquet", f"{out}/robots.parquet", seeds, cfg
     )
     engine_state = {r["urlhash"]: r.asDict() for r in eng.run().collect()}
     ora = SeqCrawler(
         f"{out}/pages.parquet", f"{out}/robots.parquet", seeds,
-        CrawlConfig(whitelist=WHITELIST),
-        mode="fifo" if not with_retries else "wave",
+        CrawlConfig(whitelist=WHITELIST, **sched),
+        mode="fifo" if not (with_retries or sched) else "wave",
     )
     ora.run()
     oracle_state = ora.state()
@@ -254,7 +261,23 @@ def run_seed(spark, seed: int, with_retries: bool) -> dict:
                     "engine": {k: v for k, v in e.items() if e[k] != o.get(k)},
                     "oracle": {k: o[k] for k in e if e[k] != o.get(k)}}
     return {"seed": seed, "retries": with_retries, "ok": True,
-            "pages": len(pages), "frontier_rows": len(engine_state)}
+            "pages": len(pages), "frontier_rows": len(engine_state),
+            **({"scheduling": {k: v for k, v in sched.items()}} if sched else {})}
+
+
+def _rand_scheduling(seed: int) -> dict:
+    """Randomized budgeted-scheduler knobs: priority policy + politeness
+    budgets drawn per seed (the priority-queue parity surface)."""
+    rng = random.Random(seed * 7919 + 13)
+    sched: dict = {
+        "frontier_policy": rng.choice(["fifo", "shallow", "deep"]),
+        "wave_seconds": rng.choice([2.5, 5.0, 10.0]),
+        "default_delay": 0.5,
+        "max_waves": 256,  # tight budgets need more waves to drain
+    }
+    if rng.random() < 0.6:
+        sched["global_budget"] = rng.randint(8, 25)
+    return sched
 
 
 def main() -> int:
@@ -265,8 +288,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     results = []
     for s in seeds:
-        for with_retries in (False, True):
-            r = run_seed(spark, s, with_retries)
+        for with_retries, sched in (
+            (False, None),
+            (True, None),
+            (True, _rand_scheduling(s)),
+        ):
+            r = run_seed(spark, s, with_retries, sched)
             print(json.dumps(r))
             results.append(r)
             if not r["ok"]:
