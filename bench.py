@@ -140,12 +140,18 @@ def _ensure_corpus() -> None:
         write_bench_corpus(LARGE_CORPUS, n_domains=8, fanout=25, leaves=480)
 
 
-def _kernel_job(spark) -> int:
+def _kernel_job(spark, warm_sample: float | None = None) -> int:
     """The crawl wave's inner computation as one job over the scale corpus:
     pages scan -> fused parse/tokenize/simhash UDF -> exhash -> exact-dup
     hash aggregate + token aggregate. (The banded near-pair self-join is
     measured separately in the headline queries: a 32-bit fingerprint
-    saturates combinatorially on large random corpora — BASELINE.md.)"""
+    saturates combinatorially on large random corpora — BASELINE.md.)
+
+    ``warm_sample``: run the IDENTICAL plan over a Bernoulli sample of the
+    pages — the cheap warm-up shape. sample() keeps every scan partition
+    live (unlike limit(), which collapses to one), so it still spins up
+    the full Python-UDF worker pool and compiles the same codegen stages
+    at ~the sample fraction of the cost."""
     from pyspark.sql import functions as F
 
     from spacetime_crawler4_spark.functions.exhash import exhash_col
@@ -155,6 +161,8 @@ def _kernel_job(spark) -> int:
     # with files.maxPartitionBytes=4m the SCAN itself splits — no
     # repartition, so no shuffle of the page bytes through local disk
     pages = spark.read.parquet(f"{SCALE_CORPUS}/pages.parquet")
+    if warm_sample is not None:
+        pages = pages.sample(fraction=warm_sample, seed=7)
     feat = pages.select(
         "url",
         exhash_col(F.col("html")).alias("exhash"),
@@ -430,7 +438,11 @@ def _measure_level(cores: int, repeats: int, gap_s: float) -> list[float]:
     spark = _mk_spark(cores)
     walls = []
     try:
-        _kernel_job(spark)  # warm (JIT, file listing, UDF workers)
+        # warm (JIT, file listing, UDF worker pool) on a 12% sample of the
+        # SAME plan: a full-kernel warm run spent ~45 s per 4-core retry
+        # round, which starved the retry budget down to 2-3 rounds — the
+        # sample warm buys 2-3x more retry rounds inside the same budget
+        _kernel_job(spark, warm_sample=0.12)
         for i in range(repeats):
             if i and gap_s > 0:
                 time.sleep(gap_s)
@@ -482,7 +494,13 @@ def run_scaling() -> dict:
         # budget (the probe is ~2 s; a 45-s measurement into a co-tenant
         # burst is a wasted retry — this is what sank the r3 artifact)
         out[f"retry{retries}_quiet_wait_s"] = _wait_for_quiet(deadline)
-        for cores in (LO, HI):
+        # each level's MIN estimates its idle-floor wall; co-tenant load
+        # inflates the HI wall ~(HI/LO)x more than the LO wall (the LO run
+        # has CPUS-LO spare cores of headroom, HI has almost none), so the
+        # HI floor is the high-variance estimate — sample it every round,
+        # the stable LO floor every second round
+        levels = (HI,) if retries % 2 else (LO, HI)
+        for cores in levels:
             walls[cores] += _measure_level(cores, 1, gap_s=0.0)
     out["scale_retries"] = retries
 
