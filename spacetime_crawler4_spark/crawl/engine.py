@@ -35,6 +35,8 @@ Scale design decisions (SURVEY.md §4):
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1302,12 +1304,20 @@ class CrawlEngine:
             pending = self.frontier.filter(
                 (F.col("status") == STATUS.NO_DOWN) & (F.col("finish") == FINISH.OK)
             )
+            # per-wave phase walls (driver-side; ride the metrics JSON):
+            # select = budget windows + cut, run = the single frontier
+            # materialization (fetch/parse/dedup/expansion/anti-join),
+            # post = observations + links append + seen-sketch advance.
+            # The Amdahl decomposition of a crawl (BASELINE.md) reads
+            # straight off these.
+            _t0 = time.time()
             wave = self._select_wave(pending).localCheckpoint(eager=True)
             n = wave.count()
             if n == 0:
                 break
             self.last_wave = wave
             self._wave_n = n
+            _t1 = time.time()
             updates, inserts, counters = self.run_wave(wave)
             raw_updates, raw_inserts = updates, inserts
             # finish-code histogram rides the materialization job as an
@@ -1346,6 +1356,7 @@ class CrawlEngine:
                 .repartition(self._nparts, "urlhash")
                 .localCheckpoint(eager=True)
             )
+            _t2 = time.time()
             counters["n_wave"] = n
             counters.update({k: v for k, v in obs.get.items() if v})
             counters["n_inserts"] = obs_ins.get["n_inserts"]
@@ -1358,6 +1369,9 @@ class CrawlEngine:
                 self._wave_links = None
             self._frontier_rows += counters["n_inserts"]
             self._advance_seen_sketch(inserts_cached, int(counters["n_inserts"]))
+            counters["wall_select_s"] = round(_t1 - _t0, 2)
+            counters["wall_run_s"] = round(_t2 - _t1, 2)
+            counters["wall_post_s"] = round(time.time() - _t2, 2)
             self.metrics.append(counters)
             # the state tables checkpoint lazily and may first materialize
             # early next wave, so this wave's caches are released one wave

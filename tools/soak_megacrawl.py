@@ -131,6 +131,14 @@ def main() -> None:
         stats.pop("too_similar", None)
         stats["waves"] = eng.wave_no
         stats["seen_sketch"] = dict(eng.sketch_stats)
+        stats["wave_walls"] = [
+            {
+                k: m[k]
+                for k in ("n_wave", "wall_select_s", "wall_run_s", "wall_post_s")
+                if k in m
+            }
+            for m in eng.metrics
+        ]
         out[f"local[{cores}]"] = stats
         walls[cores] = stats["wall_s"]
     if not args.hi_only:
