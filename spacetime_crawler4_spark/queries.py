@@ -4404,6 +4404,102 @@ FROM per CROSS JOIN tot ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# round-4 session-6: crawl-ops analytics (trap mining, recrawl scheduling)
+# + mirror detection + quality-canonical dedup election
+# --------------------------------------------------------------------------
+
+# URL template normalization shared by both engines: strip the scheme,
+# collapse every query-string VALUE to 'V', then every digit run to 'N'.
+# Order matters (value rule first, so '?page=3' -> '?page=V' not '?page=N')
+# and both engines apply the identical two regexes globally.
+_TRAP_SCHEME_RE = "^https?://"
+_TRAP_QVAL_RE = "([?&][^=&]+)=[^&]*"
+_TRAP_DIGIT_RE = "[0-9]+"
+TRAP_MIN_URLS = 3
+
+
+def q_crawl_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap template mining over engine truth (the fixture crawl's
+    final frontier): URLs collapse to templates (digits->N, query
+    values->V) and each template aggregates the gate outcomes that mark a
+    trap — SIFTED depth rejects (the reference's F7 calendar/ladder trap
+    gate, workerpipe.py:33-57) and dup/near-dup rejects. A template with
+    many URLs and a high reject share is a trap family a production
+    frontier would throttle *before* fetching (the reference can only
+    reject post-hoc, one URL at a time).
+
+    Scale: template extraction is two JVM regexp_replace ops (map-only,
+    whole-stage codegen); one partial-aggregated groupBy on the template
+    key. At a 10^10-URL frontier this is the standard pre-aggregation
+    shape — no skew beyond the trap families themselves, which is exactly
+    the signal being measured."""
+    fr = _crawl_state(spark)
+    tmpl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), _TRAP_SCHEME_RE, ""),
+            _TRAP_QVAL_RE,
+            "$1=V",
+        ),
+        _TRAP_DIGIT_RE,
+        "N",
+    )
+    agg = (
+        fr.select(
+            tmpl.alias("template"),
+            "domain",
+            "finish",
+            "dupdepth",
+        )
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("domain").alias("n_hosts"),
+            F.sum((F.col("finish") == 8).cast("long")).alias("n_sifted"),
+            F.sum(F.col("finish").isin(4, 5).cast("long")).alias("n_dup_reject"),
+            F.max("dupdepth").alias("max_dupdepth"),
+        )
+    )
+    return (
+        agg.filter(F.col("n_urls") >= TRAP_MIN_URLS)
+        .select(
+            "template",
+            "n_urls",
+            "n_hosts",
+            "n_sifted",
+            "n_dup_reject",
+            "max_dupdepth",
+            F.round(
+                (F.col("n_sifted") + F.col("n_dup_reject")) / F.col("n_urls"), 6
+            ).alias("trap_score"),
+        )
+        .orderBy(F.desc("n_urls"), F.desc("trap_score"), "template")
+    )
+
+
+SQL_CRAWL_TRAP_TEMPLATES = f"""
+WITH t AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             regexp_replace(url, '{_TRAP_SCHEME_RE}', '', 'g'),
+             '{_TRAP_QVAL_RE}', '\\1=V', 'g'),
+           '{_TRAP_DIGIT_RE}', 'N', 'g') AS template,
+         domain, finish, dupdepth
+  FROM '{_CRAWL_STATE_PARQUET}')
+SELECT template, count(*) AS n_urls,
+       count(DISTINCT domain) AS n_hosts,
+       CAST(sum(CASE WHEN finish = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_sifted,
+       CAST(sum(CASE WHEN finish IN (4, 5) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_reject,
+       max(dupdepth) AS max_dupdepth,
+       round((sum(CASE WHEN finish = 8 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN finish IN (4, 5) THEN 1 ELSE 0 END)) * 1.0
+             / count(*), 6) AS trap_score
+FROM t GROUP BY template HAVING count(*) >= {TRAP_MIN_URLS}
+ORDER BY n_urls DESC, trap_score DESC, template
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4564,4 +4660,20 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
         "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
         "tpch_volume_shipping": (q_tpch_volume_shipping, SQL_TPCH_VOLUME_SHIPPING),
         "tpch_promo_share": (q_tpch_promo_share, SQL_TPCH_PROMO_SHARE),
+    }
+
+
+def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
+    """Queries staged for the NEXT round's correctness window.
+
+    The driver certifies only the first 50 ``registry()`` entries per
+    round, and the current window is exactly the 50 never-driver-checked
+    queries (tests/test_registry_window.py pins this). Queries authored
+    after the window filled therefore stage HERE: they get the identical
+    local DuckDB-oracle gate from day one (tests/test_oracle_parity.py
+    iterates both registries), and the round-5 rotation moves them into
+    ``registry()``'s leading window once the round-4 batch turns green.
+    """
+    return {
+        "crawl_trap_templates": (q_crawl_trap_templates, SQL_CRAWL_TRAP_TEMPLATES),
     }

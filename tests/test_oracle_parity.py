@@ -39,8 +39,18 @@ def _rows_to_multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
 
 
-ORACLES = entry_mod.oracle_sql()
-QUERIES = entry_mod.queries()
+ORACLES = dict(entry_mod.oracle_sql())
+QUERIES = dict(entry_mod.queries())
+
+# Queries staged for the next round's driver window get the identical
+# local gate from day one (queries.pending_registry docstring).
+from spacetime_crawler4_spark.queries import pending_registry  # noqa: E402
+
+for _name, (_fn, _sql) in pending_registry().items():
+    assert _name not in QUERIES, f"pending query {_name} shadows registry()"
+    QUERIES[_name] = _fn
+    if _sql is not None:
+        ORACLES[_name] = _sql
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -42,8 +42,17 @@ def test_never_driver_checked_queries_lead_the_registry():
 def test_every_registry_query_has_an_oracle_or_is_marked():
     """Each entry pairs a Spark callable with oracle SQL (None is allowed
     only for genuinely non-SQL-expressible ops; today there are none)."""
-    from spacetime_crawler4_spark.queries import registry
+    from spacetime_crawler4_spark.queries import pending_registry, registry
 
-    for name, (fn, sql) in registry().items():
+    for name, (fn, sql) in {**registry(), **pending_registry()}.items():
         assert callable(fn), name
         assert sql is None or (isinstance(sql, str) and "SELECT" in sql.upper()), name
+
+
+def test_pending_registry_is_disjoint_from_registry():
+    """Staged queries (next-round window candidates) must not shadow a
+    registered name — the round-5 rotation moves them over wholesale."""
+    from spacetime_crawler4_spark.queries import pending_registry, registry
+
+    overlap = set(pending_registry()) & set(registry())
+    assert not overlap, f"pending queries shadow registry(): {sorted(overlap)}"
