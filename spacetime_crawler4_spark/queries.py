@@ -4499,6 +4499,79 @@ ORDER BY n_urls DESC, trap_score DESC, template
 """
 
 
+RECRAWL_HORIZON_DAYS = 7.0
+RECRAWL_TOP_K = 100
+
+
+def q_crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling head: per-url Poisson change rate (Cho &
+    Garcia-Molina 2003 estimator over a deterministic synthetic fetch
+    log) and the staleness probability at a 7-day horizon — the refetch
+    priority a revisiting frontier pops by. The reference fetches each
+    URL exactly once; this is the web-scale revisit extension
+    (operators/freshness.py). One groupBy on the url key; the oracle
+    re-synthesizes the identical md5-derived log and re-runs the
+    estimator in SQL."""
+    from spacetime_crawler4_spark.operators.freshness import (
+        change_rate,
+        synthetic_fetch_log,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pr = change_rate(
+        synthetic_fetch_log(docs), horizon_days=RECRAWL_HORIZON_DAYS
+    )
+    return (
+        pr.withColumnRenamed("id", "doc_id")
+        .orderBy(F.desc("p_stale"), "doc_id")
+        .limit(RECRAWL_TOP_K)
+    )
+
+
+def _sql_bucket(salt: str, key_expr: str) -> str:
+    """DuckDB twin of operators/sampling.sample_bucket (24-bit md5 prefix
+    onto 10^6 buckets)."""
+    return (
+        f"(CAST('0x' || substr(md5('{salt}' || {key_expr}), 1, 6) AS INTEGER)"
+        f" % 1000000)"
+    )
+
+
+SQL_CRAWL_RECRAWL_PRIORITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         3 + {_sql_bucket("fr:n", "CAST(doc_id AS VARCHAR)")} % 5 AS n_draw,
+         1 + {_sql_bucket("fr:tau", "CAST(doc_id AS VARCHAR)")} % 7 AS tau_days,
+         5 + {_sql_bucket("fr:p", "CAST(doc_id AS VARCHAR)")} % 90 AS p_pct
+  FROM documents),
+log AS (
+  SELECT doc_id, tau_days, p_pct,
+         unnest(generate_series(1, n_draw)) AS obs_idx
+  FROM base),
+flags AS (
+  SELECT doc_id, tau_days,
+         CASE WHEN {_sql_bucket(
+             "fr:chg",
+             "CAST(doc_id AS VARCHAR) || ':' || CAST(obs_idx AS VARCHAR)",
+         )} % 100 < p_pct
+              THEN 1 ELSE 0 END AS changed
+  FROM log),
+agg AS (
+  SELECT doc_id, tau_days, count(*) AS n_obs,
+         CAST(sum(changed) AS BIGINT) AS n_changed
+  FROM flags GROUP BY doc_id, tau_days),
+est AS (
+  SELECT doc_id, tau_days, n_obs, n_changed,
+         -ln((CAST(n_obs - n_changed AS DOUBLE) + 0.5)
+             / (CAST(n_obs AS DOUBLE) + 0.5)) / tau_days AS lam
+  FROM agg)
+SELECT doc_id, tau_days, n_obs, n_changed,
+       round(lam, 6) AS lambda_day,
+       round(1.0 - exp(-lam * {RECRAWL_HORIZON_DAYS!r}), 6) AS p_stale
+FROM est ORDER BY p_stale DESC, doc_id LIMIT {RECRAWL_TOP_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4676,4 +4749,8 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """
     return {
         "crawl_trap_templates": (q_crawl_trap_templates, SQL_CRAWL_TRAP_TEMPLATES),
+        "crawl_recrawl_priority": (
+            q_crawl_recrawl_priority,
+            SQL_CRAWL_RECRAWL_PRIORITY,
+        ),
     }
