@@ -4573,6 +4573,178 @@ FROM est ORDER BY p_stale DESC, doc_id LIMIT {RECRAWL_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# round-4 session-7: content-plane crawl-ops mining over engine truth
+# (mirror hosts, tracking-param URL aliases, soft-404 boilerplate)
+# --------------------------------------------------------------------------
+
+_CRAWL_WORDSTATS_PARQUET = _os.environ.get(
+    "SPARK_GRAFT_CRAWL_WORDSTATS",
+    _os.path.join(_os.path.dirname(_CRAWL_STATE_PARQUET), "wordstats.parquet"),
+)
+
+
+def q_crawl_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection over engine truth: host pairs serving byte-
+    identical content (shared exhash across distinct domains). The fixture
+    plants mirror.example-b.test serving copies of www.example-b.test's
+    /b{i} pages; the engine's cross-wave exact-dedup (J4, reference
+    workerpipe.py:198-218) records the shared checksum, and this query
+    surfaces the host-level aggregate a production crawl uses to demote a
+    whole mirror before fetching it page-by-page.
+
+    Scale: groupBy (exhash, domain) pre-aggregates to at most one row per
+    (content, host) — the self-join then runs on that reduced frame, and
+    dup-cluster sizes bound the pair fan-out. At 10^10 URLs this is the
+    standard two-level aggregation; no all-pairs anywhere."""
+    fr = _crawl_state(spark).filter(F.col("exhash").isNotNull())
+    per = fr.groupBy("exhash", "domain").agg(F.count("*").alias("n"))
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.exhash") == F.col("b.exhash"))
+        & (F.col("a.domain") < F.col("b.domain")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.domain").alias("host_a"), F.col("b.domain").alias("host_b")
+        )
+        .agg(
+            F.countDistinct("a.exhash").alias("n_shared_content"),
+            F.sum(F.col("a.n") * F.col("b.n")).alias("n_url_pairs"),
+        )
+        .orderBy(F.desc("n_shared_content"), "host_a", "host_b")
+    )
+
+
+SQL_CRAWL_MIRROR_HOSTS = f"""
+WITH per AS (
+  SELECT exhash, domain, count(*) AS n
+  FROM '{_CRAWL_STATE_PARQUET}' WHERE exhash IS NOT NULL
+  GROUP BY exhash, domain)
+SELECT a.domain AS host_a, b.domain AS host_b,
+       count(DISTINCT a.exhash) AS n_shared_content,
+       CAST(sum(a.n * b.n) AS BIGINT) AS n_url_pairs
+FROM per a JOIN per b ON a.exhash = b.exhash AND a.domain < b.domain
+GROUP BY 1, 2 ORDER BY n_shared_content DESC, host_a, host_b
+"""
+
+
+# marketing/click-tracking query parameters stripped by the alias
+# canonicalizer; the regex removes each pair WITH its preceding delimiter,
+# then a second anchored pass repairs '&' -> '?' when the first surviving
+# param lost its '?'. Both regexes are RE2-portable and applied identically
+# by Spark and DuckDB.
+_TRACK_PARAM_RE = r"[?&](utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|ref)=[^&]*"
+_TRACK_REPAIR_RE = r"^([^?&]*)&"
+
+
+def q_crawl_url_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param URL alias mining over engine truth: frontier URLs
+    that collapse to the same canonical form once marketing parameters
+    (utm_*, fbclid, gclid, ...) are stripped. The reference's urlhash
+    includes the query string (utils/__init__.py:25-30), so every alias is
+    fetched and then caught post-hoc by exact dedup; a production frontier
+    canonicalizes pre-fetch. n_distinct_content == 1 confirms the aliases
+    really served identical bytes (exact-dup exhash).
+
+    Scale: two JVM regexp_replace ops (map-only, codegen) + one groupBy on
+    the canonical key — the same pre-aggregation shape as trap mining."""
+    fr = _crawl_state(spark)
+    canon = F.regexp_replace(
+        F.regexp_replace(F.col("url"), _TRACK_PARAM_RE, ""),
+        _TRACK_REPAIR_RE,
+        "$1?",
+    )
+    return (
+        fr.select(
+            canon.alias("canonical_url"),
+            "url",
+            "exhash",
+            (F.col("finish") == 4).cast("long").alias("is_exact_dup"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("exhash").alias("n_distinct_content"),
+            F.sum("is_exact_dup").alias("n_dup_rejected"),
+        )
+        .filter(F.col("n_urls") >= 2)
+        .orderBy(F.desc("n_urls"), "canonical_url")
+    )
+
+
+SQL_CRAWL_URL_ALIASES = f"""
+WITH c AS (
+  SELECT regexp_replace(
+           regexp_replace(url, '{_TRACK_PARAM_RE}', '', 'g'),
+           '{_TRACK_REPAIR_RE}', '\\1?') AS canonical_url,
+         url, exhash, CASE WHEN finish = 4 THEN 1 ELSE 0 END AS is_exact_dup
+  FROM '{_CRAWL_STATE_PARQUET}')
+SELECT canonical_url, count(*) AS n_urls,
+       count(DISTINCT exhash) AS n_distinct_content,
+       CAST(sum(is_exact_dup) AS BIGINT) AS n_dup_rejected
+FROM c GROUP BY canonical_url HAVING count(*) >= 2
+ORDER BY n_urls DESC, canonical_url
+"""
+
+
+# boilerplate lexicon for the soft-404 detector: tokens characteristic of
+# error templates but NOT of the fixture's content vocabulary ("page" and
+# "catalog" are deliberately excluded — they appear in legitimate titles).
+SOFT404_LEXICON = (
+    "not", "found", "error", "errors", "sorry", "deleted", "moved", "requested"
+)
+SOFT404_MIN_SHARE = 0.2
+
+
+def q_crawl_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection over engine truth: HTTP-200 pages whose word bag
+    is dominated by error-template boilerplate. The committed wordstats
+    table (tools/gen_crawl_state.py) is the fixture crawl's per-page word
+    bags; the fixture plants five /gone/item-* pages sharing a "page not
+    found" template (the engine already near-dup-rejects four of them —
+    reference workerpipe.py:257-277 — but the master survives, which is
+    exactly why production pipelines need the content-level detector) and
+    one legitimate /gone/legit control the detector must not flag.
+
+    Scale: map-side lexicon predicate + one groupBy on url; the lexicon is
+    a literal IN-list (JVM codegen), no UDF, no join."""
+    ws = spark.read.parquet(_CRAWL_WORDSTATS_PARQUET)
+    err = F.when(F.col("word").isin(*SOFT404_LEXICON), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
+    return (
+        ws.groupBy("url", "finish")
+        .agg(
+            F.sum("cnt").alias("n_words_total"),
+            F.sum(err).alias("n_err_words"),
+        )
+        .withColumn(
+            "err_share",
+            F.round(F.col("n_err_words") / F.col("n_words_total"), 6),
+        )
+        .filter(F.col("err_share") >= SOFT404_MIN_SHARE)
+        .orderBy(F.desc("err_share"), "url")
+    )
+
+
+def _sql_soft404() -> str:
+    lex = ", ".join(f"'{w}'" for w in SOFT404_LEXICON)
+    return f"""
+SELECT url, finish, CAST(sum(cnt) AS BIGINT) AS n_words_total,
+       CAST(sum(CASE WHEN word IN ({lex}) THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_err_words,
+       round(sum(CASE WHEN word IN ({lex}) THEN cnt ELSE 0 END) * 1.0
+             / sum(cnt), 6) AS err_share
+FROM '{_CRAWL_WORDSTATS_PARQUET}'
+GROUP BY url, finish
+HAVING round(sum(CASE WHEN word IN ({lex}) THEN cnt ELSE 0 END) * 1.0
+             / sum(cnt), 6) >= {SOFT404_MIN_SHARE}
+ORDER BY err_share DESC, url
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4753,4 +4925,7 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_crawl_recrawl_priority,
             SQL_CRAWL_RECRAWL_PRIORITY,
         ),
+        "crawl_mirror_hosts": (q_crawl_mirror_hosts, SQL_CRAWL_MIRROR_HOSTS),
+        "crawl_url_aliases": (q_crawl_url_aliases, SQL_CRAWL_URL_ALIASES),
+        "crawl_soft404": (q_crawl_soft404, _sql_soft404()),
     }

@@ -52,6 +52,7 @@ MEGA = "http://mega.example-a.test"
 BLOCKED = "http://blocked.example-b.test"
 NOROBOTS = "http://norobots.example-a.test"
 OFF = "http://off.example-x.test"
+MIRROR = "http://mirror.example-b.test"
 
 # crawl whitelist for the fixture corpus (engine config, not hardcoded)
 FIXTURE_WHITELIST = (".example-a.test", ".example-b.test")
@@ -268,6 +269,18 @@ def build_corpus(scale: int = 1) -> tuple[list[Page], list[dict], list[str]]:
 
     # ---- site B: query-family traps + sitemap ------------------------------
     b_links = [("/list?page=1", "list start")] + [(f"/b{i}", f"b page {i}") for i in range(6)]
+    # web-scale artifacts (round-4 extension; pages appended at the END of
+    # build_corpus so the rng draw sequence for every pre-existing page is
+    # untouched): a mirror host serving byte-identical copies, tracking-
+    # param URL aliases, and a soft-404 family (200-status error template)
+    b_links += [
+        (f"{MIRROR}/", "mirror of example b"),
+        ("/b2?utm_source=feed&utm_medium=rss", "b2 via feed"),
+        ("/b2?utm_source=newsletter", "b2 via newsletter"),
+        ("/b3?fbclid=share123abc", "b3 shared link"),
+        ("/b4?gclid=ad456&utm_campaign=q1", "b4 via ad"),
+        ("/gone/catalog", "old catalog"),
+    ]
     pages.append(_page(rng, B, "Example B home", b_links, extra_paras=2))
     for i in range(6):
         pages.append(_page(rng, f"{B}/b{i}", f"B page {i}", [("/", "home")]))
@@ -312,6 +325,78 @@ def build_corpus(scale: int = 1) -> tuple[list[Page], list[dict], list[str]]:
     pages.append(_page(rng, f"{NOROBOTS}/solo", "No robots solo", [("/", "home")]))
     pages.append(_page(rng, f"{BLOCKED}/never", "Should never fetch", []))
     pages.append(_page(rng, f"{OFF}/page", "Off whitelist", []))
+
+    # ---- web-scale artifacts (mirror / aliases / soft-404) ------------------
+    # Appended after every pre-existing page so the rng draw sequence above
+    # is byte-stable; copies reuse the already-built fragment lists.
+    by_url = {p.url: p for p in pages}
+
+    # mirror host: its own hub (distinct content, so its links ARE scraped)
+    # pointing at byte-identical copies of B's /b{i} pages. The engine marks
+    # each copy TOO_EXACT against the master fetched from B — the cross-
+    # domain exhash overlap is the mirror-detection signal.
+    mirror_links = [(f"/b{i}", f"mirror b{i}") for i in range(6)]
+    pages.append(_page(rng, MIRROR, "Mirror of Example B", mirror_links))
+    for i in range(6):
+        src = by_url[f"{B}/b{i}"]
+        pages.append(
+            Page(url=f"{MIRROR}/b{i}", fragments=list(src.fragments),
+                 hrefs=list(src.hrefs), anchors=list(src.anchors))
+        )
+
+    # tracking-param aliases: same path + marketing query params, byte-
+    # identical body (servers ignore the params). Exact dedup catches them;
+    # the alias-canonicalization query mines them from frontier state.
+    for alias_path, base_path in [
+        ("/b2?utm_source=feed&utm_medium=rss", "/b2"),
+        ("/b2?utm_source=newsletter", "/b2"),
+        ("/b3?fbclid=share123abc", "/b3"),
+        ("/b4?gclid=ad456&utm_campaign=q1", "/b4"),
+    ]:
+        src = by_url[f"{B}{base_path}"]
+        pages.append(
+            Page(url=f"{B}{alias_path}", fragments=list(src.fragments),
+                 hrefs=list(src.hrefs), anchors=list(src.anchors))
+        )
+
+    # soft-404 family: HTTP 200 pages sharing a "page not found" template,
+    # differing only in an error-reference token engineered (like the /near
+    # family) to stay within simhash hamming<=4 of the family head — the
+    # engine elects one master and marks the rest TOO_SIMILAR, and every row
+    # keeps its word bag for the boilerplate-share detector. One legit page
+    # under the same /gone/ prefix is the detector's negative control.
+    gone_links = [(f"/gone/item-{i}", f"catalog item {i}") for i in range(5)]
+    gone_links.append(("/gone/legit", "archived page"))
+    pages.append(_page(rng, f"{B}/gone/catalog", "Old catalog", gone_links))
+
+    def _soft404(url: str, ref_token: str) -> Page:
+        body = (
+            "sorry the page you requested could not be found the item may "
+            "have been moved or deleted from the catalog please check the "
+            "address for errors and try the search again or return to the "
+            f"catalog home page error reference {ref_token}"
+        )
+        return Page(url=url, fragments=["Page not found", body, "home"],
+                    hrefs=["/"], anchors=["home"])
+
+    def _soft404_hash(ref_token: str) -> int:
+        probe = _soft404("probe", ref_token)
+        return simhash32(word_count(tokenize(probe.text())))
+
+    h0 = _soft404_hash("err0")
+    ref_tokens = ["err0"]
+    salt = 0
+    while len(ref_tokens) < 5:
+        salt += 1
+        cand = f"err{salt}"
+        if 0 < hamming32(_soft404_hash(cand), h0) <= 4:
+            ref_tokens.append(cand)
+        if salt > 2000:
+            raise AssertionError("soft-404 family search did not converge")
+    for i, tok in enumerate(ref_tokens):
+        pages.append(_soft404(f"{B}/gone/item-{i}", tok))
+    pages.append(_page(rng, f"{B}/gone/legit", "Archived catalog page",
+                       [("/", "home")]))
 
     robots_rows = [
         {"domain": A, "status": 200, "body": "User-agent: *\nDisallow: /secret\n"},

@@ -23,14 +23,19 @@ def test_committed_state_matches_fresh_crawl(spark, corpus_dir):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from gen_crawl_state import crawl_state_table
+    from gen_crawl_state import WORDSTATS_OUT, crawl_state_tables
 
-    fresh = crawl_state_table(spark, corpus_dir)
-    committed = pq.read_table(_CRAWL_STATE_PARQUET)
-    assert committed.column_names == fresh.column_names
-    assert committed.num_rows == fresh.num_rows
-    for c in fresh.column_names:
-        assert committed[c].to_pylist() == fresh[c].to_pylist(), f"column {c} drifted"
+    fresh, fresh_ws = crawl_state_tables(spark, corpus_dir)
+    for committed, fresh_tbl, label in [
+        (pq.read_table(_CRAWL_STATE_PARQUET), fresh, "frontier"),
+        (pq.read_table(WORDSTATS_OUT), fresh_ws, "wordstats"),
+    ]:
+        assert committed.column_names == fresh_tbl.column_names, label
+        assert committed.num_rows == fresh_tbl.num_rows, label
+        for c in fresh_tbl.column_names:
+            assert committed[c].to_pylist() == fresh_tbl[c].to_pylist(), (
+                f"{label} column {c} drifted"
+            )
 
 
 def test_crawl_state_queries_cover_the_gates(spark):
@@ -44,7 +49,7 @@ def test_crawl_state_queries_cover_the_gates(spark):
     # OK, LOWINFO_PRE/POST, TOO_EXACT, TOO_SIMILAR, NOT_ALLOWED, REDIRECT,
     # SIFTED, CACHE_ERROR all present in the fixture crawl
     assert {0, 2, 3, 4, 5, 6, 7, 8, 255} <= finishes
-    assert abs(sum(r for r in fin.values()) - 234) < 1e-9 or sum(fin.values()) > 0
+    assert sum(fin.values()) == 252  # fixture frontier row count
 
     dom = q_crawl_state_domain_audit(spark, "").collect()
     assert len(dom) >= 2

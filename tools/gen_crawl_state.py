@@ -33,12 +33,19 @@ OUT = (
     / "frontier.parquet"
 )
 LINKS_OUT = OUT.parent / "links.parquet"
+WORDSTATS_OUT = OUT.parent / "wordstats.parquet"
 
 
-def crawl_state_table(spark, corpus_dir: str):
-    """The fixture crawl's final frontier as a pyarrow table of scalar
-    columns (maps/arrays dropped; words/links kept as counts), sorted by
-    (gen, seq) for byte-stable output."""
+def crawl_state_tables(spark, corpus_dir: str):
+    """One fixture crawl -> (frontier scalars, wordstats) pyarrow tables.
+
+    frontier: the final frontier's scalar columns (maps/arrays dropped;
+    words/links kept as counts), sorted by (gen, seq) for byte-stable output.
+    wordstats: the same frontier's word bags exploded to one (url, domain,
+    finish, word, cnt) row per distinct token — the committed signal table
+    for content-mining queries (soft-404 boilerplate share) whose DuckDB
+    oracles need word-level access the scalar table drops. Sorted
+    (url, word)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -85,7 +92,24 @@ def crawl_state_table(spark, corpus_dir: str):
         .collect()
     )
     cols = rows[0].asDict().keys() if rows else []
-    return pa.table({c: [r[c] for r in rows] for c in cols})
+    scalars = pa.table({c: [r[c] for r in rows] for c in cols})
+
+    ws_rows = (
+        frontier.filter(
+            F.size(F.map_keys(F.coalesce("words", F.create_map()))) > 0
+        )
+        .select("url", "domain", "finish", F.explode("words").alias("word", "cnt"))
+        .orderBy("url", "word")
+        .collect()
+    )
+    ws_cols = ws_rows[0].asDict().keys() if ws_rows else []
+    wordstats = pa.table({c: [r[c] for r in ws_rows] for c in ws_cols})
+    return scalars, wordstats
+
+
+def crawl_state_table(spark, corpus_dir: str):
+    """Back-compat wrapper: the frontier scalar table only."""
+    return crawl_state_tables(spark, corpus_dir)[0]
 
 
 def links_table(spark, corpus_dir: str, frontier_tbl):
@@ -133,13 +157,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     with tempfile.TemporaryDirectory() as td:
         write_corpus(td)
-        tbl = crawl_state_table(spark, td)
+        tbl, wordstats = crawl_state_tables(spark, td)
         links = links_table(spark, td, tbl)
     OUT.parent.mkdir(parents=True, exist_ok=True)
     pq.write_table(tbl, OUT, compression="zstd")
     print(f"wrote {OUT} rows={tbl.num_rows}")
     pq.write_table(links, LINKS_OUT, compression="zstd")
     print(f"wrote {LINKS_OUT} rows={links.num_rows}")
+    pq.write_table(wordstats, WORDSTATS_OUT, compression="zstd")
+    print(f"wrote {WORDSTATS_OUT} rows={wordstats.num_rows}")
 
 
 if __name__ == "__main__":
