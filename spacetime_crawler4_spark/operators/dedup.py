@@ -615,3 +615,126 @@ def remove_duplicated_spans(
             ).alias("cleaned"),
         )
     )
+
+
+def line_occurrences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line, lkey) — one row per newline-separated line of every
+    document, in document order. ``lkey`` is the dedup key: md5 of the
+    whitespace-trimmed line, NULL for blank lines (blank lines never
+    participate in cross-document dedup; they are always kept).
+
+    The line is the natural dedup unit for extracted web text: the
+    production extractor serializes pages as ``"\\n".join(fragments)``
+    (functions/htmltext.py), so one line == one visible-text fragment —
+    exactly the boilerplate granularity (nav links, cookie banners,
+    footers) CCNet/FineWeb-style line dedup targets.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "lkey",
+        F.when(F.trim(F.col("line")) != "", F.md5(F.trim(F.col("line")))),
+    )
+
+
+def dup_line_stats(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Boilerplate mining: every trimmed line occurring in >= ``min_docs``
+    DISTINCT documents, with its document count, total occurrence count,
+    and first occurrence (lexicographic (id, pos)).
+
+    Scale shape: one explode (map-only) + ONE hash aggregate keyed on the
+    line hash — partial aggregation absorbs the per-document repeats
+    map-side, so the shuffle carries at most one row per (partition,
+    distinct line). No windows: the global first occurrence is a
+    min(struct) inside the same aggregate, so a universally duplicated
+    line ("Home") costs one combiner row per partition, never a
+    single-reducer window partition.
+    """
+    occ = line_occurrences(df, id_col, text_col).filter(
+        F.col("lkey").isNotNull()
+    )
+    return (
+        occ.groupBy("lkey")
+        .agg(
+            F.min(F.trim(F.col("line"))).alias("line"),
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("id", "pos")).alias("first"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "line",
+            "n_docs",
+            "n_occ",
+            F.col("first.id").alias("first_id"),
+            F.col("first.pos").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "line")
+    )
+
+
+def line_dedup(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document line dedup (CCNet §3.1 / FineWeb line filtering):
+    a line occurrence is KEPT iff it is blank, OR its trimmed form occurs
+    in fewer than ``min_docs`` distinct documents, OR it is the globally
+    FIRST occurrence of that form (lexicographic (id, pos)) — every later
+    occurrence, including same-document repeats of a cross-document
+    duplicate, is dropped. Surviving lines re-join in original order.
+
+    Returns (id, n_lines, n_kept, n_dropped, cleaned) — cleaned is the
+    newline re-joined surviving text (trailing/leading blank lines
+    preserved as-is; only duplicated non-blank lines disappear).
+
+    Scale shape: explode (map) -> ONE aggregate on lkey (doc counts +
+    min(struct) first occurrence, partial-agg friendly, no windows) ->
+    broadcast-or-shuffle hash join of the duplicated-key side back onto
+    occurrences (the join side carries ONLY keys with n_docs >= min_docs,
+    i.e. the boilerplate dictionary, typically orders of magnitude
+    smaller than the corpus) -> ONE per-doc re-aggregate. Linear end to
+    end; skewed boilerplate keys stay inside hash aggregates where
+    map-side combining flattens them.
+    """
+    occ = line_occurrences(df, id_col, text_col)
+    dup_keys = (
+        occ.filter(F.col("lkey").isNotNull())
+        .groupBy("lkey")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.min(F.struct("id", "pos")).alias("first"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lkey", "first")
+    )
+    flagged = occ.join(dup_keys, "lkey", "left").select(
+        "id",
+        "pos",
+        "line",
+        (
+            F.col("first").isNull()
+            | ((F.col("first.id") == F.col("id")) & (F.col("first.pos") == F.col("pos")))
+        ).alias("keep"),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+    )

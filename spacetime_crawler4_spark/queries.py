@@ -4745,6 +4745,122 @@ ORDER BY err_share DESC, url
 
 
 # --------------------------------------------------------------------------
+# round-4 session-8: cross-document line dedup over engine-truth page text
+# (CCNet §3.1 / FineWeb line filtering — the boilerplate-removal pass a
+# production webtext pipeline runs between extraction and quality filters)
+# --------------------------------------------------------------------------
+
+_CRAWL_PAGETEXT_PARQUET = _os.environ.get(
+    "SPARK_GRAFT_CRAWL_PAGETEXT",
+    _os.path.join(_os.path.dirname(_CRAWL_STATE_PARQUET), "pagetext.parquet"),
+)
+
+
+def _pagetext(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_CRAWL_PAGETEXT_PARQUET)
+
+
+def q_crawl_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining over the fixture crawl's admitted page text
+    (committed via tools/gen_crawl_state.py, PRODUCTION extractor output —
+    one line per visible-text fragment): every trimmed line occurring in
+    >= 2 distinct pages, with document/occurrence counts and the global
+    first occurrence. Surfaces exactly the nav/footer chrome ("hub",
+    "next item", "home") CCNet-style line dedup exists to strip.
+
+    Scale: operators/dedup.dup_line_stats — one explode + ONE hash
+    aggregate on the line hash (min(struct) first-occurrence inside the
+    same agg; no windows, so a universally duplicated line never lands in
+    a single-reducer partition)."""
+    from spacetime_crawler4_spark.operators.dedup import dup_line_stats
+
+    return dup_line_stats(_pagetext(spark), "url", "text", min_docs=2).select(
+        "line",
+        "n_docs",
+        "n_occ",
+        F.col("first_id").alias("first_url"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
+SQL_CRAWL_DUP_LINES = f"""
+WITH occ AS (
+  SELECT url, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS line
+  FROM (SELECT url, string_split(text, chr(10)) AS arr
+        FROM '{_CRAWL_PAGETEXT_PARQUET}')),
+keyed AS (
+  SELECT url, pos, line, md5(trim(line)) AS lkey
+  FROM occ WHERE trim(line) <> ''),
+st AS (
+  SELECT lkey, min(trim(line)) AS line,
+         count(DISTINCT url) AS n_docs, count(*) AS n_occ,
+         min({{'id': url, 'pos': pos}}) AS first
+  FROM keyed GROUP BY lkey)
+SELECT line, n_docs, n_occ,
+       struct_extract(first, 'id') AS first_url,
+       CAST(struct_extract(first, 'pos') AS BIGINT) AS first_pos
+FROM st WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occ DESC, line
+"""
+
+
+def q_crawl_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup TRANSFORM over the same engine-truth page
+    text: keep blank lines, unique lines, and the globally FIRST occurrence
+    of every cross-page duplicated line; drop all later occurrences
+    (including same-page repeats of a cross-page duplicate); re-join
+    survivors in original order. Per-page audit row: line counts and the
+    full cleaned text, so the oracle checks the reconstructed bytes, not
+    just tallies.
+
+    Scale: operators/dedup.line_dedup — explode, ONE aggregate on the line
+    hash, a hash join whose build side is only the duplicated-line
+    dictionary (boilerplate vocabulary, orders of magnitude smaller than
+    the corpus), ONE per-doc re-aggregate. Linear end to end."""
+    from spacetime_crawler4_spark.operators.dedup import line_dedup
+
+    return (
+        line_dedup(_pagetext(spark), "url", "text", min_docs=2)
+        .select(
+            F.col("id").alias("url"),
+            "n_lines",
+            "n_kept",
+            "n_dropped",
+            "cleaned",
+        )
+        .orderBy("url")
+    )
+
+
+SQL_CRAWL_LINE_DEDUP = f"""
+WITH occ AS (
+  SELECT url, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS line
+  FROM (SELECT url, string_split(text, chr(10)) AS arr
+        FROM '{_CRAWL_PAGETEXT_PARQUET}')),
+keyed AS (
+  SELECT url, pos, line,
+         CASE WHEN trim(line) <> '' THEN md5(trim(line)) END AS lkey
+  FROM occ),
+dupk AS (
+  SELECT lkey, min({{'id': url, 'pos': pos}}) AS first
+  FROM keyed WHERE lkey IS NOT NULL
+  GROUP BY lkey HAVING count(DISTINCT url) >= 2),
+fl AS (
+  SELECT o.url, o.pos, o.line,
+         (d.lkey IS NULL
+          OR (struct_extract(d.first, 'id') = o.url
+              AND struct_extract(d.first, 'pos') = o.pos)) AS keep
+  FROM keyed o LEFT JOIN dupk d USING (lkey))
+SELECT url, count(*) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS cleaned
+FROM fl GROUP BY url ORDER BY url
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4928,4 +5044,6 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_mirror_hosts": (q_crawl_mirror_hosts, SQL_CRAWL_MIRROR_HOSTS),
         "crawl_url_aliases": (q_crawl_url_aliases, SQL_CRAWL_URL_ALIASES),
         "crawl_soft404": (q_crawl_soft404, _sql_soft404()),
+        "crawl_dup_lines": (q_crawl_dup_lines, SQL_CRAWL_DUP_LINES),
+        "crawl_line_dedup": (q_crawl_line_dedup, SQL_CRAWL_LINE_DEDUP),
     }

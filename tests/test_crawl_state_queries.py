@@ -23,12 +23,19 @@ def test_committed_state_matches_fresh_crawl(spark, corpus_dir):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from gen_crawl_state import WORDSTATS_OUT, crawl_state_tables
+    from gen_crawl_state import (
+        PAGETEXT_OUT,
+        WORDSTATS_OUT,
+        crawl_state_tables,
+        pagetext_table,
+    )
 
     fresh, fresh_ws = crawl_state_tables(spark, corpus_dir)
+    fresh_pt = pagetext_table(spark, corpus_dir, fresh)
     for committed, fresh_tbl, label in [
         (pq.read_table(_CRAWL_STATE_PARQUET), fresh, "frontier"),
         (pq.read_table(WORDSTATS_OUT), fresh_ws, "wordstats"),
+        (pq.read_table(PAGETEXT_OUT), fresh_pt, "pagetext"),
     ]:
         assert committed.column_names == fresh_tbl.column_names, label
         assert committed.num_rows == fresh_tbl.num_rows, label

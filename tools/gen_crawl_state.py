@@ -34,6 +34,7 @@ OUT = (
 )
 LINKS_OUT = OUT.parent / "links.parquet"
 WORDSTATS_OUT = OUT.parent / "wordstats.parquet"
+PAGETEXT_OUT = OUT.parent / "pagetext.parquet"
 
 
 def crawl_state_tables(spark, corpus_dir: str):
@@ -142,6 +143,52 @@ def links_table(spark, corpus_dir: str, frontier_tbl):
     return pa.table({c: [r[c] for r in rows] for c in cols})
 
 
+def pagetext_table(spark, corpus_dir: str, frontier_tbl):
+    """(url, domain, text) for the fixture crawl's admitted pages via the
+    PRODUCTION parse UDF (operators/textplane.parse_page_udf) — text is
+    the canonical newline-joined fragment serialization, so the committed
+    fixture carries the exact line granularity the line-dedup operators
+    (operators/dedup.line_dedup) consume. Sorted by url for byte-stable
+    output."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4_spark.operators.textplane import parse_page_udf
+
+    ok = {
+        u
+        for u, s, f in zip(
+            frontier_tbl["url"].to_pylist(),
+            frontier_tbl["status"].to_pylist(),
+            frontier_tbl["finish"].to_pylist(),
+        )
+        if s == 2 and f == 0
+    }
+    rows = (
+        spark.read.parquet(f"{corpus_dir}/pages.parquet")
+        .filter(F.col("url").isin(sorted(ok)))
+        .select(
+            "url",
+            parse_page_udf(
+                F.col("url"), F.col("html"), F.lit("text/html")
+            ).alias("p"),
+        )
+        .select("url", F.col("p.text").alias("text"))
+        .orderBy("url")
+        .collect()
+    )
+    from spacetime_crawler4_spark.crawl.schema import domain_of
+
+    return pa.table(
+        {
+            "url": [r["url"] for r in rows],
+            "domain": [domain_of(r["url"]) for r in rows],
+            "text": [r["text"] for r in rows],
+        }
+    )
+
+
 def main() -> None:
     import pyarrow.parquet as pq
 
@@ -159,6 +206,7 @@ def main() -> None:
         write_corpus(td)
         tbl, wordstats = crawl_state_tables(spark, td)
         links = links_table(spark, td, tbl)
+        pagetext = pagetext_table(spark, td, tbl)
     OUT.parent.mkdir(parents=True, exist_ok=True)
     pq.write_table(tbl, OUT, compression="zstd")
     print(f"wrote {OUT} rows={tbl.num_rows}")
@@ -166,6 +214,8 @@ def main() -> None:
     print(f"wrote {LINKS_OUT} rows={links.num_rows}")
     pq.write_table(wordstats, WORDSTATS_OUT, compression="zstd")
     print(f"wrote {WORDSTATS_OUT} rows={wordstats.num_rows}")
+    pq.write_table(pagetext, PAGETEXT_OUT, compression="zstd")
+    print(f"wrote {PAGETEXT_OUT} rows={pagetext.num_rows}")
 
 
 if __name__ == "__main__":
