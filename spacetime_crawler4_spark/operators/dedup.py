@@ -645,13 +645,13 @@ def dup_line_stats(
     DISTINCT documents, with its document count, total occurrence count,
     and first occurrence (lexicographic (id, pos)).
 
-    Scale shape: one explode (map-only) + ONE hash aggregate keyed on the
-    line hash — partial aggregation absorbs the per-document repeats
-    map-side, so the shuffle carries at most one row per (partition,
-    distinct line). No windows: the global first occurrence is a
-    min(struct) inside the same aggregate, so a universally duplicated
-    line ("Home") costs one combiner row per partition, never a
-    single-reducer window partition.
+    Scale shape: one explode (map-only) + ONE aggregate keyed on the
+    line hash (Catalyst picks SortAggregate for the struct-min, still
+    with map-side partial aggregation) — the shuffle carries at most one
+    row per (partition, distinct line, doc). No windows: the global
+    first occurrence is a min(struct) inside the same aggregate, so a
+    universally duplicated line ("Home") costs one combiner row per
+    partition, never a single-reducer window partition.
     """
     occ = line_occurrences(df, id_col, text_col).filter(
         F.col("lkey").isNotNull()
@@ -691,7 +691,7 @@ def line_dedup(
     preserved as-is; only duplicated non-blank lines disappear).
 
     Scale shape: explode (map) -> ONE aggregate on lkey (doc counts +
-    min(struct) first occurrence, partial-agg friendly, no windows) ->
+    min(struct) first occurrence, map-side partial agg, no windows) ->
     broadcast-or-shuffle hash join of the duplicated-key side back onto
     occurrences (the join side carries ONLY keys with n_docs >= min_docs,
     i.e. the boilerplate dictionary, typically orders of magnitude

@@ -142,3 +142,62 @@ def anchor_term_index(edges: DataFrame, min_len: int = 1) -> DataFrame:
             F.countDistinct("src_domain").alias("n_hosts"),
         )
     )
+
+
+def nav_line_share(pages: DataFrame, edges: DataFrame) -> DataFrame:
+    """Link-density content/chrome split per page (the CETR / boilerplate-
+    detection signal, Weninger et al. 2010): a text line is NAV CHROME when
+    its trimmed form equals the trimmed visible text of an <a> on the SAME
+    page — the extractor serializes each anchor's visible text as its own
+    fragment/line, so the equality join recovers exactly the link-density
+    classification without re-parsing HTML.
+
+    ``pages`` = (url, text) with newline-joined fragments; ``edges`` =
+    anchor_edges output (src_url, anchor_text). Returns per page:
+    (url, n_lines, n_nav_lines, nav_char_share, content_chars) over
+    non-blank lines, nav_char_share rounded 6dp.
+
+    Scale shape: both sides pre-reduce before the join — lines aggregate
+    per (url, key) with counts/chars, anchors distinct per (url, key) — so
+    the join is keyed, skew-free (one row per page-key on each side), and
+    linear; one final per-url aggregate.
+    """
+    occ = (
+        pages.select(
+            F.col("url"),
+            F.explode(F.split(F.col("text"), "\n")).alias("line"),
+        )
+        .filter(F.trim("line") != "")
+        .groupBy("url", F.trim(F.col("line")).alias("key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length(F.col("line"))).alias("chars"),
+        )
+    )
+    nav_keys = (
+        edges.filter(F.trim("anchor_text") != "")
+        .select(
+            F.col("src_url").alias("url"),
+            F.trim(F.col("anchor_text")).alias("key"),
+        )
+        .distinct()
+        .withColumn("is_nav", F.lit(True))
+    )
+    return (
+        occ.join(nav_keys, ["url", "key"], "left")
+        .groupBy("url")
+        .agg(
+            F.sum("n").alias("n_lines"),
+            F.sum(F.when(F.col("is_nav"), F.col("n")).otherwise(F.lit(0))).alias(
+                "n_nav_lines"
+            ),
+            F.round(
+                F.sum(F.when(F.col("is_nav"), F.col("chars")).otherwise(F.lit(0)))
+                / F.sum("chars"),
+                6,
+            ).alias("nav_char_share"),
+            F.sum(
+                F.when(F.col("is_nav"), F.lit(0)).otherwise(F.col("chars"))
+            ).alias("content_chars"),
+        )
+    )

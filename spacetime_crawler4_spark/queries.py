@@ -4832,6 +4832,45 @@ def q_crawl_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_nav_chrome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density content/chrome split per admitted page (the CETR-style
+    boilerplate signal): lines whose trimmed text equals the trimmed
+    visible text of an <a> on the same page are NAV CHROME; everything
+    else is content. Joins the two committed engine-truth fixtures —
+    pagetext (extractor lines) and links (anchor_edges output) — so the
+    classification is over production extractor bytes, no re-parse.
+
+    Scale: operators/linkgraph.nav_line_share — both join sides pre-reduce
+    to one row per (page, key) before a keyed join; one final per-page
+    aggregate. Linear, skew-free."""
+    from spacetime_crawler4_spark.operators.linkgraph import nav_line_share
+
+    return nav_line_share(
+        _pagetext(spark), spark.read.parquet(_CRAWL_LINKS_PARQUET)
+    ).orderBy("url")
+
+
+SQL_CRAWL_NAV_CHROME = f"""
+WITH occ AS (
+  SELECT url, trim(line) AS key, count(*) AS n,
+         CAST(sum(length(line)) AS BIGINT) AS chars
+  FROM (SELECT url, unnest(string_split(text, chr(10))) AS line
+        FROM '{_CRAWL_PAGETEXT_PARQUET}')
+  WHERE trim(line) <> '' GROUP BY url, trim(line)),
+nav AS (
+  SELECT DISTINCT src_url AS url, trim(anchor_text) AS key, TRUE AS is_nav
+  FROM '{_CRAWL_LINKS_PARQUET}' WHERE trim(anchor_text) <> '')
+SELECT url, CAST(sum(n) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_nav THEN n ELSE 0 END) AS BIGINT) AS n_nav_lines,
+       round(sum(CASE WHEN is_nav THEN chars ELSE 0 END) * 1.0 / sum(chars),
+             6) AS nav_char_share,
+       CAST(sum(CASE WHEN is_nav THEN 0 ELSE chars END) AS BIGINT)
+         AS content_chars
+FROM occ LEFT JOIN nav USING (url, key)
+GROUP BY url ORDER BY url
+"""
+
+
 SQL_CRAWL_LINE_DEDUP = f"""
 WITH occ AS (
   SELECT url, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS line
@@ -5046,4 +5085,5 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_soft404": (q_crawl_soft404, _sql_soft404()),
         "crawl_dup_lines": (q_crawl_dup_lines, SQL_CRAWL_DUP_LINES),
         "crawl_line_dedup": (q_crawl_line_dedup, SQL_CRAWL_LINE_DEDUP),
+        "crawl_nav_chrome": (q_crawl_nav_chrome, SQL_CRAWL_NAV_CHROME),
     }

@@ -182,3 +182,60 @@ def test_engine_links_sink_equals_posthoc_extraction(
     # the per-wave append carried the wave column and >1 wave contributed
     waves = {r.wave for r in got.select("wave").distinct().collect()}
     assert len(waves) > 1
+
+
+class TestNavLineShare:
+    """nav_line_share (CETR-style link-density content/chrome split)."""
+
+    def _run(self, spark, pages, edges):
+        from spacetime_crawler4_spark.operators.linkgraph import (
+            nav_line_share,
+        )
+
+        p = spark.createDataFrame(pages, "url string, text string")
+        e = spark.createDataFrame(
+            edges, "src_url string, anchor_text string"
+        )
+        return {
+            r["url"]: r.asDict() for r in nav_line_share(p, e).collect()
+        }
+
+    def test_same_page_match_only(self, spark):
+        got = self._run(
+            spark,
+            [("u1", "home\nreal content here"), ("u2", "home\nother body")],
+            [("u1", "home")],  # only u1 links 'home'
+        )
+        assert got["u1"]["n_nav_lines"] == 1
+        assert got["u2"]["n_nav_lines"] == 0  # same text, no anchor on u2
+        assert got["u1"]["content_chars"] == len("real content here")
+
+    def test_trim_keyed_and_repeats_counted(self, spark):
+        got = self._run(
+            spark,
+            [("u", "  next  \nnext\nbody line")],
+            [("u", "next"), ("u", "next")],  # duplicate anchors collapse
+        )
+        assert got["u"]["n_lines"] == 3
+        assert got["u"]["n_nav_lines"] == 2  # both 'next' variants match
+        # chars of nav lines count their ORIGINAL untrimmed lengths
+        assert got["u"]["content_chars"] == len("body line")
+
+    def test_blank_anchors_and_blank_lines_ignored(self, spark):
+        got = self._run(
+            spark,
+            [("u", "a\n\n  \nb")],
+            [("u", ""), ("u", "   ")],
+        )
+        assert got["u"]["n_lines"] == 2  # blanks excluded
+        assert got["u"]["n_nav_lines"] == 0
+        assert got["u"]["nav_char_share"] == 0.0
+
+    def test_share_arithmetic(self, spark):
+        got = self._run(
+            spark,
+            [("u", "nav\ncontent12")],
+            [("u", "nav")],
+        )
+        # 3 nav chars of 12 total
+        assert got["u"]["nav_char_share"] == round(3 / 12, 6)
