@@ -134,3 +134,49 @@ def conjunctive_search(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional-index phrase retrieval: documents containing the exact
+    token sequence ``phrase``, with occurrence count and first match
+    position. The classic positional posting-list intersect (Manning,
+    IIR §2.4): the posting list of term i is aligned to the phrase start
+    by subtracting i from its positions, then all k lists intersect on
+    (doc, start-pos).
+
+    Returns (id_col, n_matches, first_pos) ordered by id.
+
+    Scale shape: each join side is a SINGLE term's postings (explode +
+    term filter pushed against the token stream — the selective filter
+    runs before any wide operation), and the k-1 intersects are keyed
+    equi-joins on (doc, aligned-pos), so skew is bounded by the hottest
+    single term. A production deployment materializes the positional
+    index (doc, term, pos) once as a bucketed table and every phrase
+    query reuses it; here the index is built inline from the corpus.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase_search: need at least one term")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sql_tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    base = toks.filter(F.col("term") == phrase[0]).select("id", "pos")
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            "id", (F.col("pos") - i).alias("pos")
+        )
+        base = base.join(nxt, ["id", "pos"])
+    return (
+        base.groupBy("id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .select(F.col("id").alias(id_col), "n_matches", "first_pos")
+        .orderBy(id_col)
+    )

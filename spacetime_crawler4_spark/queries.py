@@ -4899,6 +4899,37 @@ FROM fl GROUP BY url ORDER BY url
 """
 
 
+PHRASE_QUERY = ("table", "hash")
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval via positional posting-list intersection
+    (Manning IIR §2.4) — the phrase-query counterpart of the conjunctive
+    AND search: docs containing the exact token sequence
+    ``PHRASE_QUERY``, with occurrence count and first position.
+
+    Scale: operators/ranking.phrase_search — each intersect side is a
+    single term's postings (term filter applied before any wide op);
+    k-1 keyed equi-joins on (doc, aligned start position)."""
+    from spacetime_crawler4_spark.operators.ranking import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), PHRASE_QUERY)
+
+
+SQL_SEARCH_PHRASE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+tok AS (SELECT doc_id AS id, unnest(ts) AS term,
+               generate_subscripts(ts, 1) - 1 AS pos
+        FROM toks),
+m AS (SELECT a.id, a.pos
+      FROM tok a JOIN tok b ON a.id = b.id AND b.pos = a.pos + 1
+      WHERE a.term = '{PHRASE_QUERY[0]}' AND b.term = '{PHRASE_QUERY[1]}')
+SELECT id AS doc_id, count(*) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5086,4 +5117,5 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_dup_lines": (q_crawl_dup_lines, SQL_CRAWL_DUP_LINES),
         "crawl_line_dedup": (q_crawl_line_dedup, SQL_CRAWL_LINE_DEDUP),
         "crawl_nav_chrome": (q_crawl_nav_chrome, SQL_CRAWL_NAV_CHROME),
+        "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
     }

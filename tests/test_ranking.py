@@ -56,3 +56,62 @@ def test_conjunctive_ranking_and_topk(spark):
     assert rows[0].doc_id in (2, 3)  # short, term-dense docs outrank padded
     assert all(r.doc_id != 4 for r in rows)
     assert rows[0].bm25 >= rows[1].bm25
+
+
+def test_phrase_search_exact_sequence(spark):
+    from spacetime_crawler4_spark.operators.ranking import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join beats sort merge join"),  # one 'hash join'
+            (2, "hash join and hash join again"),  # two matches
+            (3, "join hash"),  # reversed: no match
+            (4, "hash x join"),  # gap: no match
+            (5, "the hash join"),  # match at pos 1
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, ("hash", "join")).collect()
+    }
+    assert got == {1: (1, 0), 2: (2, 0), 5: (1, 1)}
+
+
+def test_phrase_search_trigram_and_overlap(spark):
+    from spacetime_crawler4_spark.operators.ranking import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # overlapping 'a a a' at pos 0 and 1
+            (2, "a a b a a a"),  # one match at pos 3
+            (3, "a a"),  # too short
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, ("a", "a", "a")).collect()
+    }
+    assert got == {1: (2, 0), 2: (1, 3)}
+
+
+def test_phrase_search_single_term_and_tokenizer(spark):
+    from spacetime_crawler4_spark.operators.ranking import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "Hash-Join, HASH join!"), (2, "nothing")],
+        "doc_id int, text string",
+    )
+    # sql_tokens lowercases and splits on non-[a-z0-9']: "hash-join, hash
+    # join!" -> hash join hash join => two 'hash join' matches
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, ("hash", "join")).collect()
+    }
+    assert got == {1: 2}
+    single = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, ("hash",)).collect()
+    }
+    assert single == {1: 2}
