@@ -113,6 +113,134 @@ def pagerank(
     return ranks.select("id", F.col("r").alias("rank"))
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, trust) — TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank with the teleport vector biased to a curated
+    trusted seed set instead of uniform. Trust starts at the seeds
+    (t_0 = s) and each synchronous step is
+
+        t'(v) = (1-d) * s(v) + d * (sum_{u->v} t(u)/outdeg(u)
+                                    + dangling * s(v))
+
+    where s(v) = 1/|S| for seed nodes and 0 otherwise — both the
+    restart mass AND the dangling mass re-enter only through the seeds,
+    so pages unreachable from the trusted set converge to zero trust.
+    For a crawl, the natural seed set is the operator-curated seed URL
+    list: trust then flows outward exactly along discovered links, and
+    a high-PageRank page with low trust is the link-spam signature
+    (see ``spam_mass``).
+
+    ``seeds`` is a one-column (``id``) frame; seeds not present in the
+    edge list's node universe are ignored (they can neither receive nor
+    forward trust). Raises if no seed survives the intersection — a
+    teleport vector of all zeros has no stationary interpretation.
+
+    Scale shape: identical to ``pagerank`` — the weighted edge list is
+    the only big table, shuffled once per iteration on ``src``; the
+    trust vector, seed flags, and 1-row dangling aggregate are the
+    small/broadcast sides; k iterations = k shuffles, no driver-side
+    state beyond the two bounded counts.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    we = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        we.select(F.col("src").alias("id"))
+        .unionByName(we.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seed_ids = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    n_seeds = nodes.join(seed_ids, "id").count()
+    if n_seeds == 0:
+        raise ValueError(
+            "trustrank: no seed appears in the edge list's node universe"
+        )
+    # teleport + dangling flags folded into ONE checkpointed node frame
+    # (same shape as pagerank's `flagged`): s(v) = 1/|S| or 0.0
+    flagged = (
+        nodes.join(seed_ids.withColumn("is_seed", F.lit(True)), "id", "left")
+        .join(
+            we.select(F.col("src").alias("id")).distinct().withColumn(
+                "has_out", F.lit(True)
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("has_out", F.lit(False)).alias("has_out"),
+            F.when(F.col("is_seed"), F.lit(1.0) / F.lit(float(n_seeds)))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = flagged.select("id", "has_out", "s", F.col("s").alias("r"))
+    for _ in range(iterations):
+        dangling = ranks.filter(~F.col("has_out")).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang")
+        )
+        contrib = (
+            we.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("r")).alias("acc"))
+        )
+        ranks = (
+            ranks.select("id", "has_out", "s")
+            .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                "has_out",
+                "s",
+                (
+                    F.lit(1.0 - damping) * F.col("s")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("acc"), F.lit(0.0))
+                        + F.col("dang") * F.col("s")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("r").alias("trust"))
+
+
+def spam_mass(pr: DataFrame, tr: DataFrame) -> DataFrame:
+    """(id, rank, trust, spam_mass) — relative spam mass (Gyongyi,
+    Berkhin, Garcia-Molina & Pedersen, VLDB 2006, 'Link spam detection
+    based on mass estimation'): the fraction of a page's PageRank that
+    does NOT come from trusted paths,
+
+        m(v) = (PR(v) - TR(v)) / PR(v)
+
+    with both vectors unit-L1 (``pagerank`` and ``trustrank`` here both
+    sum to 1 by construction, so no rescaling step is needed). m close
+    to 1 = the page's rank is earned almost entirely outside the
+    trusted subgraph — the spam-farm signature; m near (or below) 0 =
+    rank fully backed by trust. One keyed join of two node-sized
+    vectors; at crawl scale both are tiny next to the edge list.
+    """
+    return pr.join(tr, "id").select(
+        "id",
+        "rank",
+        "trust",
+        ((F.col("rank") - F.col("trust")) / F.col("rank")).alias("spam_mass"),
+    )
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 5,

@@ -4931,6 +4931,112 @@ FROM m GROUP BY id ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# TrustRank + spam mass over the crawl's discovered link graph
+# --------------------------------------------------------------------------
+
+TRUST_ITERS = 3
+
+
+def q_crawl_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi et al., VLDB 2004) + relative spam mass
+    (Gyongyi et al., VLDB 2006) over the committed crawl link graph:
+    the teleport vector is biased to the crawl's OWN depth-0 seed URLs
+    — the operator-curated trusted set — so trust flows outward exactly
+    along discovered links, while uniform-teleport PageRank runs on the
+    same edges; spam_mass = (pr - trust)/pr flags pages whose rank is
+    earned outside trusted paths (the link-farm signature a mega-crawl
+    demotes in its frontier priority).
+
+    Scale: operators/graph.trustrank — identical shape to pagerank (one
+    edge shuffle/iteration, node-sized trust vector, 1-row dangling
+    broadcast); the final spam-mass join is node-sized x node-sized."""
+    from spacetime_crawler4_spark.operators.graph import spam_mass, trustrank
+
+    lk = _crawl_links(spark)
+    edges = lk.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    ).distinct()
+    seeds = (
+        _crawl_state(spark)
+        .filter(F.col("absdepth") == 0)
+        .select(F.col("url").alias("id"))
+    )
+    tr = trustrank(edges, seeds, iterations=TRUST_ITERS, damping=PR_DAMPING)
+    pr = pagerank(edges, iterations=TRUST_ITERS, damping=PR_DAMPING)
+    return (
+        spam_mass(pr, tr)
+        .select(
+            F.col("id").alias("url"),
+            F.round("trust", 6).alias("trust"),
+            F.round("spam_mass", 6).alias("spam_mass"),
+        )
+        .orderBy(F.desc("trust"), "url")
+    )
+
+
+def _sql_crawl_trustrank() -> str:
+    """Both recurrences (uniform-teleport r-chain mirroring
+    operators/graph.pagerank, seed-teleport t-chain mirroring
+    trustrank) unrolled as chained CTEs over the identical parquet.
+    Constants are interpolated with ``repr`` so DuckDB parses the same
+    IEEE doubles the Spark literals carry."""
+    d = PR_DAMPING
+    od = repr(1.0 - d)  # the exact double F.lit(1.0 - damping) evaluates to
+    n = "(SELECT count(*) FROM nodes)"
+    ctes = [
+        f"""lk AS (SELECT * FROM '{_CRAWL_LINKS_PARQUET}'),
+e AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM lk),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+we AS (SELECT src, dst, 1.0 / od AS w FROM e JOIN outdeg USING (src)),
+sd AS (SELECT DISTINCT n.id FROM nodes n
+       JOIN (SELECT url FROM '{_CRAWL_STATE_PARQUET}' WHERE absdepth = 0) f
+       ON n.id = f.url),
+sv AS (SELECT id, CASE WHEN id IN (SELECT id FROM sd)
+                       THEN CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM sd)
+                       ELSE CAST(0.0 AS DOUBLE) END AS s FROM nodes),
+r0 AS (SELECT id, 1.0 / {n} AS r FROM nodes),
+t0 AS (SELECT id, s AS r FROM sv)"""
+    ]
+    for i in range(1, TRUST_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nn.id,
+         (1.0 - {d}) / {n}
+         + {d} * (coalesce(cb.acc, 0.0)
+                  + (SELECT coalesce(sum(r), 0.0) FROM r{p}
+                     WHERE id NOT IN (SELECT src FROM outdeg)) / {n}) AS r
+  FROM nodes nn LEFT JOIN
+       (SELECT dst AS id, sum(w * r) AS acc
+        FROM we JOIN r{p} ON r{p}.id = we.src GROUP BY dst) cb
+  USING (id))"""
+        )
+        ctes.append(
+            f"""t{i} AS (
+  SELECT sv.id,
+         {od} * sv.s
+         + {d} * (coalesce(cb.acc, 0.0)
+                  + (SELECT coalesce(sum(r), 0.0) FROM t{p}
+                     WHERE id NOT IN (SELECT src FROM outdeg)) * sv.s) AS r
+  FROM sv LEFT JOIN
+       (SELECT dst AS id, sum(w * r) AS acc
+        FROM we JOIN t{p} ON t{p}.id = we.src GROUP BY dst) cb
+  USING (id))"""
+        )
+    k = TRUST_ITERS
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT t.id AS url, round(t.r, 6) AS trust,
+       round((p.r - t.r) / p.r, 6) AS spam_mass
+FROM t{k} t JOIN r{k} p ON p.id = t.id
+ORDER BY trust DESC, url"""
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5118,4 +5224,5 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_line_dedup": (q_crawl_line_dedup, SQL_CRAWL_LINE_DEDUP),
         "crawl_nav_chrome": (q_crawl_nav_chrome, SQL_CRAWL_NAV_CHROME),
         "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
+        "crawl_trustrank": (q_crawl_trustrank, _sql_crawl_trustrank()),
     }

@@ -131,3 +131,83 @@ def test_triangle_count_self_loops_ignored(spark):
     edges = [("a", "a"), ("a", "b"), ("b", "c"), ("c", "a")]
     df = spark.createDataFrame(edges, "src string, dst string")
     assert triangle_count(df).collect()[0].n_triangles == 1
+
+
+# ---------------------------------------------------------------------------
+# TrustRank + spam mass
+# ---------------------------------------------------------------------------
+
+
+def _py_trustrank(edges, seeds, iters=5, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    seeds = sorted(set(seeds) & set(nodes))
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    sv = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    r = dict(sv)
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        acc = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            acc[t] += r[s] / out[s]
+        r = {v: (1.0 - d) * sv[v] + d * (acc[v] + dang * sv[v]) for v in nodes}
+    return r
+
+
+# seed cluster a/b/c plus a disconnected "spam farm" x/y/z that links
+# only within itself — reachable by PageRank's uniform teleport, never
+# by seed-biased trust
+TRUST_EDGES = EDGES + [("x", "y"), ("y", "z"), ("z", "x")]
+
+
+def test_trustrank_matches_pure_python(spark):
+    from spacetime_crawler4_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame(TRUST_EDGES, "src string, dst string")
+    sd = spark.createDataFrame([("a",), ("e",)], "id string")
+    got = {r.id: r.trust for r in trustrank(df, sd, iterations=5).collect()}
+    want = _py_trustrank(TRUST_EDGES, ["a", "e"])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_trustrank_spam_farm_gets_zero_trust_full_mass(spark):
+    from spacetime_crawler4_spark.operators.graph import (
+        pagerank,
+        spam_mass,
+        trustrank,
+    )
+
+    df = spark.createDataFrame(TRUST_EDGES, "src string, dst string")
+    sd = spark.createDataFrame([("a",)], "id string")
+    tr = trustrank(df, sd, iterations=6)
+    rows = {r.id: r.trust for r in tr.collect()}
+    # trust is conserved (dangling mass re-enters via seeds) ...
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    # ... and never reaches the disconnected farm
+    for v in ("x", "y", "z"):
+        assert rows[v] == 0.0
+    m = {
+        r.id: r.spam_mass
+        for r in spam_mass(pagerank(df, iterations=6), tr).collect()
+    }
+    for v in ("x", "y", "z"):
+        assert m[v] == pytest.approx(1.0, abs=1e-12)  # all rank untrusted
+    assert m["a"] < 0.5  # the seed's rank is trust-backed
+
+
+def test_trustrank_unknown_seeds_ignored_and_empty_raises(spark):
+    from spacetime_crawler4_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame(TRUST_EDGES, "src string, dst string")
+    both = spark.createDataFrame([("a",), ("nope",)], "id string")
+    only_a = spark.createDataFrame([("a",)], "id string")
+    got = {r.id: r.trust for r in trustrank(df, both, iterations=3).collect()}
+    want = {
+        r.id: r.trust for r in trustrank(df, only_a, iterations=3).collect()
+    }
+    assert got == want  # the absent seed contributes nothing
+    with pytest.raises(ValueError, match="no seed"):
+        trustrank(df, spark.createDataFrame([("ghost",)], "id string"))
