@@ -136,3 +136,36 @@ def is_valid_url_col(url: Column, whitelist: tuple[str, ...] | None) -> Column:
     if whitelist is not None:
         cond = cond & host_whitelist_col(url, whitelist)
     return cond
+
+
+def surt_col(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) canonical key — the
+    Wayback/Common-Crawl index key (webarchive-commons ``SURT``; the CDX
+    index's first column): host labels reversed and comma-joined, then
+    ``)`` + path + ``?`` + alphabetically-sorted query params, all
+    lowercased and scheme-dropped, so one lexicographic sort clusters a
+    host, its subdomains, and param-order URL variants.
+
+        http://www.Example.test/A/b?z=1&a=2
+            -> test,example,www)/a/b?a=2&z=1
+
+    Variant notes: this is the classic full-host form (``www`` is kept —
+    collapsing it is a lossy canonicalization option in webarchive
+    tooling, not part of the transform); fragments are assumed already
+    stripped (the crawl frontier defrags on ingest, F2). Pure JVM
+    built-ins end-to-end (parse_url / split / reverse / array_sort) —
+    stays inside whole-stage codegen, no UDF.
+    """
+    host = F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
+    rhost = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    query = F.lower(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")))
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rhost,
+        F.lit(")"),
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )

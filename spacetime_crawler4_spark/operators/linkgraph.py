@@ -201,3 +201,73 @@ def nav_line_share(pages: DataFrame, edges: DataFrame) -> DataFrame:
             ).alias("content_chars"),
         )
     )
+
+
+def anchor_concentration(edges: DataFrame, min_inlinks: int = 2) -> DataFrame:
+    """Per-target anchor-text concentration — the link-farm signature of
+    many inlinks carrying the SAME anchor string (organic links vary
+    their wording; SEO-planted links repeat the money phrase; see
+    Benczur et al., SpamRank, AIRWeb 2005 for anchor-distribution spam
+    signals).
+
+    One row per ``dst_url`` with at least ``min_inlinks`` inlinks:
+    (dst_url, n_inlinks, n_anchors, anchor_entropy, top_share).
+    Entropy is Shannon over the anchor-count distribution computed with
+    the single-pass identity H = ln(n) - sum(c*ln(c))/n, so the whole
+    operator is TWO keyed hash-aggregates on dst — (dst, anchor) counts,
+    then the per-dst fold — with map-side partial aggregation and no
+    window or self-join anywhere. At 10^10 edges both shuffles key on
+    the column they must key on.
+    """
+    g = (
+        edges.select("dst_url", F.trim(F.col("anchor_text")).alias("a"))
+        .groupBy("dst_url", "a")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        g.groupBy("dst_url")
+        .agg(
+            F.sum("c").alias("n_inlinks"),
+            F.count("*").alias("n_anchors"),
+            (
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                / F.sum("c")
+            ).alias("anchor_entropy"),
+            (F.max("c") / F.sum("c")).alias("top_share"),
+        )
+        .filter(F.col("n_inlinks") >= min_inlinks)
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame, max_out: int = 50, min_common: int = 2
+) -> DataFrame:
+    """Co-citation related-page pairs (Small 1973; the classic
+    "related pages" primitive): targets linked by the same source are
+    related, scored by how many sources they share.
+
+    Returns (url_a, url_b, n_common) with url_a < url_b and
+    ``n_common >= min_common``.
+
+    Scale shape: a source with out-degree f contributes f*(f-1)/2
+    pairs, so the self-join is quadratic in the WORST source, not the
+    corpus — ``max_out`` drops hub/chrome sources (sitemaps, nav pages)
+    before the join, the same df-cap discipline as the shingle dedup
+    plane. What remains is one equi-join on src over deduped edges plus
+    one hash-aggregate on the pair key.
+    """
+    e = edges.select("src_url", "dst_url").distinct()
+    deg = e.groupBy("src_url").agg(F.count("*").alias("_od"))
+    kept = e.join(
+        deg.filter(F.col("_od") <= max_out).select("src_url"), "src_url"
+    )
+    a = kept.select("src_url", F.col("dst_url").alias("url_a"))
+    b = kept.select("src_url", F.col("dst_url").alias("url_b"))
+    return (
+        a.join(b, "src_url")
+        .filter(F.col("url_a") < F.col("url_b"))
+        .groupBy("url_a", "url_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -5037,6 +5037,126 @@ ORDER BY trust DESC, url"""
 
 
 # --------------------------------------------------------------------------
+# SURT canonical keys; anchor-concentration spam signal; co-citation pairs
+# --------------------------------------------------------------------------
+
+
+def q_crawl_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical key per frontier URL — the Wayback/Common-Crawl
+    CDX index key (host labels reversed+comma-joined, ``)``, path,
+    sorted query params, lowercased, scheme dropped), so one
+    lexicographic sort clusters each host with its subdomains and
+    collapses param-order URL variants.
+
+    Scale: functions/urls.surt_col is pure JVM built-ins (parse_url /
+    split / reverse / array_sort) — a map-only projection inside
+    whole-stage codegen; the sort is the output contract, not the op."""
+    from spacetime_crawler4_spark.functions.urls import surt_col
+
+    fr = _crawl_state(spark)
+    return fr.select("url", surt_col(F.col("url")).alias("surt")).orderBy("url")
+
+
+SQL_CRAWL_SURT_KEYS = f"""
+WITH fr AS (SELECT url FROM '{_CRAWL_STATE_PARQUET}'),
+p AS (SELECT url,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM fr),
+q AS (SELECT url,
+             lower(regexp_extract(rest, '^[^/?]*')) AS host,
+             lower(regexp_extract(rest, '^[^/?]*([^?]*)', 1)) AS path,
+             lower(regexp_extract(rest, '\\?(.*)$', 1)) AS qs
+      FROM p)
+SELECT url,
+       array_to_string(list_reverse(string_split(host, '.')), ',')
+       || ')' || path
+       || CASE WHEN array_to_string(list_sort(string_split(qs, '&')), '&') = ''
+               THEN ''
+               ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&')
+          END AS surt
+FROM q ORDER BY url
+"""
+
+
+ANCHOR_SPAM_MIN_INLINKS = 2
+
+
+def q_crawl_anchor_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text concentration per link target — the link-farm
+    signature of many inlinks repeating the same anchor string (organic
+    links vary their wording; planted links repeat the money phrase).
+    Per dst with >= 2 inlinks: inlink count, distinct anchors, Shannon
+    entropy of the anchor distribution, and the top anchor's share.
+
+    Scale: operators/linkgraph.anchor_concentration — two keyed
+    hash-aggregates (single-pass entropy via H = ln n - sum(c ln c)/n),
+    no window, no self-join."""
+    from spacetime_crawler4_spark.operators.linkgraph import anchor_concentration
+
+    c = anchor_concentration(
+        _crawl_links(spark), min_inlinks=ANCHOR_SPAM_MIN_INLINKS
+    )
+    return c.select(
+        "dst_url",
+        "n_inlinks",
+        "n_anchors",
+        F.round("anchor_entropy", 6).alias("anchor_entropy"),
+        F.round("top_share", 6).alias("top_share"),
+    ).orderBy(F.desc("n_inlinks"), "dst_url")
+
+
+SQL_CRAWL_ANCHOR_SPAM = f"""
+WITH g AS (SELECT dst_url, trim(anchor_text) AS a, count(*) AS c
+           FROM '{_CRAWL_LINKS_PARQUET}' GROUP BY dst_url, trim(anchor_text)),
+agg AS (SELECT dst_url,
+               CAST(sum(c) AS BIGINT) AS n_inlinks,
+               count(*) AS n_anchors,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+                 AS anchor_entropy,
+               round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
+        FROM g GROUP BY dst_url)
+SELECT * FROM agg WHERE n_inlinks >= {ANCHOR_SPAM_MIN_INLINKS}
+ORDER BY n_inlinks DESC, dst_url
+"""
+
+
+COCITE_MAX_OUT = 50
+COCITE_MIN_COMMON = 2
+
+
+def q_crawl_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation related-page pairs (Small 1973): targets linked from
+    the same source page are related, scored by shared-source count.
+
+    Scale: operators/linkgraph.cocitation_pairs — the self-join is
+    quadratic in the WORST source's out-degree, so hub/chrome sources
+    above ``COCITE_MAX_OUT`` outlinks are dropped before the join (the
+    df-cap discipline of the shingle dedup plane); then one equi-join
+    on src + one pair-key aggregate."""
+    from spacetime_crawler4_spark.operators.linkgraph import cocitation_pairs
+
+    c = cocitation_pairs(
+        _crawl_links(spark),
+        max_out=COCITE_MAX_OUT,
+        min_common=COCITE_MIN_COMMON,
+    )
+    return c.orderBy(F.desc("n_common"), "url_a", "url_b")
+
+
+SQL_CRAWL_COCITATION = f"""
+WITH e AS (SELECT DISTINCT src_url, dst_url FROM '{_CRAWL_LINKS_PARQUET}'),
+deg AS (SELECT src_url FROM e GROUP BY src_url
+        HAVING count(*) <= {COCITE_MAX_OUT}),
+k AS (SELECT e.src_url, e.dst_url FROM e JOIN deg USING (src_url))
+SELECT a.dst_url AS url_a, b.dst_url AS url_b, count(*) AS n_common
+FROM k a JOIN k b ON a.src_url = b.src_url AND a.dst_url < b.dst_url
+GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}
+ORDER BY n_common DESC, url_a, url_b
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5225,4 +5345,7 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_nav_chrome": (q_crawl_nav_chrome, SQL_CRAWL_NAV_CHROME),
         "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
         "crawl_trustrank": (q_crawl_trustrank, _sql_crawl_trustrank()),
+        "crawl_surt_keys": (q_crawl_surt_keys, SQL_CRAWL_SURT_KEYS),
+        "crawl_anchor_spam": (q_crawl_anchor_spam, SQL_CRAWL_ANCHOR_SPAM),
+        "crawl_cocitation": (q_crawl_cocitation, SQL_CRAWL_COCITATION),
     }

@@ -239,3 +239,84 @@ class TestNavLineShare:
         )
         # 3 nav chars of 12 total
         assert got["u"]["nav_char_share"] == round(3 / 12, 6)
+
+
+class TestAnchorConcentration:
+    def test_entropy_and_shares(self, spark):
+        from spacetime_crawler4_spark.operators.linkgraph import (
+            anchor_concentration,
+        )
+        import math
+
+        edges = spark.createDataFrame(
+            [
+                # spam target: 4 identical anchors -> entropy 0, share 1
+                ("s1", "spam", "buy cheap now"),
+                ("s2", "spam", "buy cheap now"),
+                ("s3", "spam", " buy cheap now "),  # trim folds it in
+                ("s4", "spam", "buy cheap now"),
+                # organic target: 3 distinct anchors -> entropy ln(3)
+                ("s1", "org", "docs"),
+                ("s2", "org", "manual"),
+                ("s3", "org", "reference"),
+                # skewed: counts 2,1 -> H = ln(3) - (2 ln 2)/3
+                ("s1", "mix", "a"),
+                ("s2", "mix", "a"),
+                ("s3", "mix", "b"),
+                # below min_inlinks: excluded
+                ("s1", "lone", "x"),
+            ],
+            "src_url string, dst_url string, anchor_text string",
+        )
+        got = {
+            r.dst_url: r
+            for r in anchor_concentration(edges, min_inlinks=2).collect()
+        }
+        assert set(got) == {"spam", "org", "mix"}
+        assert got["spam"].n_inlinks == 4
+        assert got["spam"].n_anchors == 1
+        assert got["spam"].anchor_entropy == pytest.approx(0.0, abs=1e-12)
+        assert got["spam"].top_share == pytest.approx(1.0)
+        assert got["org"].anchor_entropy == pytest.approx(math.log(3), rel=1e-12)
+        assert got["org"].top_share == pytest.approx(1 / 3)
+        assert got["mix"].anchor_entropy == pytest.approx(
+            math.log(3) - (2 * math.log(2)) / 3, rel=1e-12
+        )
+        assert got["mix"].top_share == pytest.approx(2 / 3)
+
+
+class TestCocitation:
+    def test_pairs_ordering_cap_and_threshold(self, spark):
+        from spacetime_crawler4_spark.operators.linkgraph import (
+            cocitation_pairs,
+        )
+
+        edges = spark.createDataFrame(
+            # s1,s2 both cite a+b; s1,s2,s3 all cite a+c; hub cites
+            # everything but exceeds max_out; duplicate edge collapses
+            [
+                ("s1", "a"), ("s1", "b"), ("s1", "c"), ("s1", "c"),
+                ("s2", "a"), ("s2", "b"), ("s2", "c"),
+                ("s3", "a"), ("s3", "c"),
+                ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+            ],
+            "src_url string, dst_url string",
+        )
+        got = {
+            (r.url_a, r.url_b): r.n_common
+            for r in cocitation_pairs(edges, max_out=3, min_common=2).collect()
+        }
+        # hub (out-degree 4 > 3) contributes nothing; pair key is ordered
+        assert got == {("a", "b"): 2, ("a", "c"): 3, ("b", "c"): 2}
+
+    def test_min_common_filters(self, spark):
+        from spacetime_crawler4_spark.operators.linkgraph import (
+            cocitation_pairs,
+        )
+
+        edges = spark.createDataFrame(
+            [("s1", "a"), ("s1", "b")], "src_url string, dst_url string"
+        )
+        assert cocitation_pairs(edges, min_common=2).count() == 0
+        got = cocitation_pairs(edges, min_common=1).collect()
+        assert [(r.url_a, r.url_b, r.n_common) for r in got] == [("a", "b", 1)]

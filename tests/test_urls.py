@@ -95,3 +95,81 @@ def test_child_depths_differential(ref, child_url, parent_url, absd, reld, monod
         child_nurl.monodepth,
         child_nurl.dupdepth,
     )
+
+
+def test_surt_col_known_vectors(spark):
+    from spacetime_crawler4_spark.functions.urls import surt_col
+    from pyspark.sql import functions as F
+
+    vectors = [
+        ("http://www.Example.test/A/b?z=1&a=2", "test,example,www)/a/b?a=2&z=1"),
+        ("https://archive.org/", "org,archive)/"),
+        ("http://mega.example-a.test/hub", "test,example-a,mega)/hub"),
+        ("http://x.test/p?single=1", "test,x)/p?single=1"),
+        # no path, no query
+        ("http://a.b.c.test", "test,c,b,a)"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in vectors], "url string")
+    got = {
+        r.url: r.surt
+        for r in df.select("url", surt_col(F.col("url")).alias("surt")).collect()
+    }
+    for u, want in vectors:
+        assert got[u] == want, u
+
+
+def test_surt_col_matches_duckdb_twin_on_random_urls(spark):
+    """Property check: the JVM surt_col and the DuckDB oracle expression
+    (queries.SQL_CRAWL_SURT_KEYS' transform) agree byte-for-byte over a
+    deterministic randomized URL corpus covering subdomain depth, mixed
+    case, query-param permutations, and empty paths/queries."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4_spark.functions.urls import surt_col
+
+    rng = random.Random(1234)
+    hosts = ["Example.test", "a.b.Example.test", "x.test", "deep.sub.host.test"]
+    paths = ["", "/", "/A/b", "/p0", "/Lad/a/B", "/list"]
+    params = ["z=1", "a=2", "UTM_src=x", "id=9", "q=Hash+Join"]
+    urls = []
+    for _ in range(300):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(hosts)
+        path = rng.choice(paths)
+        k = rng.randint(0, 3)
+        qs = "&".join(rng.sample(params, k)) if k else ""
+        urls.append(f"{scheme}://{host}{path}" + (f"?{qs}" if qs else ""))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.surt
+        for r in df.select("url", surt_col(F.col("url")).alias("surt")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    want = dict(
+        con.sql(
+            """
+WITH p AS (SELECT url,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM u),
+q AS (SELECT url,
+             lower(regexp_extract(rest, '^[^/?]*')) AS host,
+             lower(regexp_extract(rest, '^[^/?]*([^?]*)', 1)) AS path,
+             lower(regexp_extract(rest, '\\?(.*)$', 1)) AS qs
+      FROM p)
+SELECT url,
+       array_to_string(list_reverse(string_split(host, '.')), ',')
+       || ')' || path
+       || CASE WHEN array_to_string(list_sort(string_split(qs, '&')), '&') = ''
+               THEN ''
+               ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&')
+          END AS surt
+FROM q
+"""
+        ).fetchall()
+    )
+    assert got == want
