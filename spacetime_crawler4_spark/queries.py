@@ -64,6 +64,7 @@ from spacetime_crawler4_spark.operators.pii import (
     inject_pii,
     pii_report,
 )
+from spacetime_crawler4_spark.crawl.schema import FINISH
 from spacetime_crawler4_spark.operators.graph import hits, pagerank, triangle_count
 from spacetime_crawler4_spark.operators.quantize import int8_fidelity
 from spacetime_crawler4_spark.operators.sketch import (
@@ -5156,6 +5157,98 @@ ORDER BY n_common DESC, url_a, url_b
 """
 
 
+def q_crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-budget allocation — the capstone that closes the
+    mining -> scheduling loop: host authority (the 3-iteration PageRank
+    of crawl_state_host_rank over the cross-host discovery graph)
+    discounted by the host's duplicate share and error share from the
+    same crawl state,
+
+        rank = authority * (1 - dup_share) * (1 - err_share)
+
+    emitted in EXACTLY the (domain, rank) shape
+    ``CrawlConfig(priority_table=..., frontier_policy='domain_rank')``
+    consumes, so the output parquet of one crawl feeds the frontier
+    prioritization of the next (FineWeb-style budget-by-quality;
+    tests/test_priority.py drives the engine with it end-to-end).
+
+    Scale: the pagerank component is one edge shuffle/iteration; the
+    tally is ONE groupBy(domain) over the frontier; the final join is
+    host-sized x host-sized."""
+    fr = _crawl_state(spark)
+    child = fr.select("parent", F.col("domain").alias("dst"))
+    parent = fr.select(F.col("urlhash").alias("parent"), F.col("domain").alias("src"))
+    edges = (
+        child.join(parent, "parent")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    auth = pagerank(edges, iterations=CRAWL_HOST_RANK_ITERS, damping=PR_DAMPING)
+    tall = fr.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(
+            (F.col("finish").isin(FINISH.TOO_EXACT, FINISH.TOO_SIMILAR)).cast(
+                "long"
+            )
+        ).alias("n_dup"),
+        F.sum(
+            (
+                F.col("finish").isin(
+                    FINISH.BAD, FINISH.NOT_ALLOWED, FINISH.CACHE_ERROR
+                )
+            ).cast("long")
+        ).alias("n_err"),
+    )
+    return (
+        tall.join(auth.withColumnRenamed("id", "domain"), "domain", "left")
+        .select(
+            "domain",
+            F.round(
+                F.coalesce(F.col("rank"), F.lit(0.0))
+                * (F.lit(1.0) - F.col("n_dup") / F.col("n_urls"))
+                * (F.lit(1.0) - F.col("n_err") / F.col("n_urls")),
+                6,
+            ).alias("rank"),
+            "n_urls",
+            "n_dup",
+            "n_err",
+        )
+        .orderBy(F.desc("rank"), "domain")
+    )
+
+
+def _sql_crawl_budget_allocation() -> str:
+    base = _pagerank_sql_from_edges(
+        f"""fr AS (SELECT * FROM '{_CRAWL_STATE_PARQUET}'),
+e AS (SELECT DISTINCT p.domain AS src, c.domain AS dst
+      FROM fr c JOIN fr p ON c.parent = p.urlhash
+      WHERE p.domain <> c.domain)""",
+        iters=CRAWL_HOST_RANK_ITERS,
+    )
+    k = CRAWL_HOST_RANK_ITERS
+    return base.replace(
+        f"\nSELECT id, round(r, 6) AS rank FROM r{k} ORDER BY id",
+        f""",
+tall AS (
+  SELECT domain, count(*) AS n_urls,
+         CAST(sum(CASE WHEN finish IN ({FINISH.TOO_EXACT},
+                                       {FINISH.TOO_SIMILAR})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         CAST(sum(CASE WHEN finish IN ({FINISH.BAD}, {FINISH.NOT_ALLOWED},
+                                       {FINISH.CACHE_ERROR})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM fr GROUP BY domain)
+SELECT t.domain,
+       round(coalesce(a.r, 0.0)
+             * (1.0 - CAST(t.n_dup AS DOUBLE) / t.n_urls)
+             * (1.0 - CAST(t.n_err AS DOUBLE) / t.n_urls), 6) AS rank,
+       t.n_urls, t.n_dup, t.n_err
+FROM tall t LEFT JOIN r{k} a ON a.id = t.domain
+ORDER BY rank DESC, domain""",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5348,4 +5441,8 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_surt_keys": (q_crawl_surt_keys, SQL_CRAWL_SURT_KEYS),
         "crawl_anchor_spam": (q_crawl_anchor_spam, SQL_CRAWL_ANCHOR_SPAM),
         "crawl_cocitation": (q_crawl_cocitation, SQL_CRAWL_COCITATION),
+        "crawl_budget_allocation": (
+            q_crawl_budget_allocation,
+            _sql_crawl_budget_allocation(),
+        ),
     }

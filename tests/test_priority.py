@@ -182,3 +182,29 @@ def test_domain_rank_requires_table(corpus_dir):
             [],
             CrawlConfig(frontier_policy="domain_rank", **CFG),
         )
+
+
+def test_budget_allocation_output_feeds_domain_rank_policy(
+    spark, corpus_dir, tmp_path
+):
+    """The mining->scheduling loop closes: q_crawl_budget_allocation's
+    parquet (authority x dup-penalty x error-penalty over the committed
+    crawl state) IS a valid priority_table, and with global_budget=1 the
+    scheduler pops the highest-budget domain's seed first (the
+    www.example-a seed: top authority after mega's rank is zeroed by its
+    absent cross-host inlinks)."""
+    from spacetime_crawler4_spark.queries import q_crawl_budget_allocation
+
+    out = str(tmp_path / "budget.parquet")
+    q_crawl_budget_allocation(spark, "unused").write.mode("overwrite").parquet(
+        out
+    )
+    cfg = CrawlConfig(
+        frontier_policy="domain_rank",
+        priority_table=out,
+        global_budget=1,
+        max_waves=2,
+        **CFG,
+    )
+    visits = _oracle(corpus_dir, cfg).visit_log
+    assert visits[0][2] == "http://www.example-a.test"
