@@ -64,7 +64,7 @@ from spacetime_crawler4_spark.operators.pii import (
     inject_pii,
     pii_report,
 )
-from spacetime_crawler4_spark.crawl.schema import FINISH
+from spacetime_crawler4_spark.crawl.schema import FINISH, STATUS
 from spacetime_crawler4_spark.operators.graph import hits, pagerank, triangle_count
 from spacetime_crawler4_spark.operators.quantize import int8_fidelity
 from spacetime_crawler4_spark.operators.sketch import (
@@ -5249,6 +5249,141 @@ ORDER BY rank DESC, domain""",
     )
 
 
+def q_pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit — the eval-hygiene check every LLM data
+    pipeline needs: near-duplicate pairs (the MinHash-LSH verified
+    plane, J >= 0.5) bucketed by which splits the two sides landed in.
+    A nonzero (test, train) row is leakage: a test document has a
+    near-copy in train, so eval measures memorization. The pair's split
+    key is order-normalized (least/greatest) so (train,test) and
+    (test,train) collapse.
+
+    Scale: composes two already-bounded operators — banded LSH pairs
+    (candidate volume prices the join, not corpus size) and the
+    md5-keyed split (map-only) — plus two node-sized hash joins."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5)
+    spl = train_test_split(docs, "doc_id", 0.2).select("doc_id", "split")
+    j = pairs.join(
+        spl.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+        "id_a",
+    ).join(
+        spl.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def _sql_pipeline_split_leakage() -> str:
+    pair_ctes = _SQL_MINHASH_PAIR_CTES.split(",\nsym AS")[0]
+    return f"""
+WITH {pair_ctes},
+lsh AS (SELECT id_a, id_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5),
+spl AS (SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 6)
+                         AS INTEGER) % 1000000 < 200000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+SELECT least(a.split, b.split) AS split_lo,
+       greatest(a.split, b.split) AS split_hi,
+       count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_jaccard
+FROM lsh JOIN spl a ON a.doc_id = lsh.id_a
+         JOIN spl b ON b.doc_id = lsh.id_b
+GROUP BY 1, 2 ORDER BY split_lo, split_hi
+"""
+
+
+def q_crawl_discovery_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dynamics per discovery generation: URLs first discovered at
+    each gen, how many were downloaded, and the cumulative frontier
+    size — the discovery curve an operator watches to spot frontier
+    exhaustion or trap blowup.
+
+    Scale: one groupBy(gen) over the frontier plus a running sum over
+    the generation axis — a window over O(max_depth) rows, not data."""
+    fr = _crawl_state(spark)
+    per = fr.groupBy("gen").agg(
+        F.count("*").alias("n_discovered"),
+        F.sum((F.col("status") == STATUS.IS_DOWN).cast("long")).alias(
+            "n_downloaded"
+        ),
+    )
+    w = Window.orderBy("gen").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "gen",
+        "n_discovered",
+        "n_downloaded",
+        F.sum("n_discovered").over(w).alias("cum_discovered"),
+    ).orderBy("gen")
+
+
+SQL_CRAWL_DISCOVERY_CURVE = f"""
+WITH per AS (SELECT gen, count(*) AS n_discovered,
+                    CAST(sum(CASE WHEN status = {STATUS.IS_DOWN} THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_downloaded
+             FROM '{_CRAWL_STATE_PARQUET}' GROUP BY gen)
+SELECT gen, n_discovered, n_downloaded,
+       CAST(sum(n_discovered) OVER (ORDER BY gen) AS BIGINT) AS cum_discovered
+FROM per ORDER BY gen
+"""
+
+
+def q_crawl_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph in-degree distribution in power-of-two buckets — the
+    Broder-et-al power-law sanity check of the discovered link graph
+    (a healthy web crawl shows a heavy in-degree tail; a trap shows a
+    spike). Bucket = floor(log2(indeg)) computed INTEGER-exact via
+    binary-string length (float log2 rounds differently across engines
+    at exact powers of two).
+
+    Scale: one groupBy(dst) + one tiny bucket aggregate."""
+    lk = _crawl_links(spark)
+    indeg = (
+        lk.select("src_url", "dst_url")
+        .distinct()
+        .groupBy("dst_url")
+        .agg(F.count("*").alias("indeg"))
+    )
+    return (
+        indeg.select(
+            (F.length(F.expr("bin(indeg)")) - 1).cast("int").alias("log2_bucket"),
+            "indeg",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("indeg").alias("min_indeg"),
+            F.max("indeg").alias("max_indeg"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+SQL_CRAWL_DEGREE_POWERLAW = f"""
+WITH e AS (SELECT DISTINCT src_url, dst_url FROM '{_CRAWL_LINKS_PARQUET}'),
+indeg AS (SELECT dst_url, count(*) AS indeg FROM e GROUP BY dst_url)
+SELECT CAST(length(format('{{:b}}', indeg)) - 1 AS INTEGER) AS log2_bucket,
+       count(*) AS n_nodes, min(indeg) AS min_indeg, max(indeg) AS max_indeg
+FROM indeg GROUP BY 1 ORDER BY log2_bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5444,5 +5579,17 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_budget_allocation": (
             q_crawl_budget_allocation,
             _sql_crawl_budget_allocation(),
+        ),
+        "pipeline_split_leakage": (
+            q_pipeline_split_leakage,
+            _sql_pipeline_split_leakage(),
+        ),
+        "crawl_discovery_curve": (
+            q_crawl_discovery_curve,
+            SQL_CRAWL_DISCOVERY_CURVE,
+        ),
+        "crawl_degree_powerlaw": (
+            q_crawl_degree_powerlaw,
+            SQL_CRAWL_DEGREE_POWERLAW,
         ),
     }
