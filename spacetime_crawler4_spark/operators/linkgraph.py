@@ -271,3 +271,43 @@ def cocitation_pairs(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-source-host link reciprocity — the link-exchange spam metric
+    (Gyongyi & Garcia-Molina, "Web spam taxonomy", AIRWeb 2005: mutual
+    link schemes): the share of a host's outgoing page-level edges whose
+    exact reverse edge also exists.
+
+    Returns (src_domain, n_edges, n_recip, recip_share).
+
+    Scale shape: edges deduped once, then ONE self equi-join on the full
+    (src,dst) pair key — an equality join on a high-cardinality composite
+    key, no fan-out (each edge matches at most its unique reverse) — and
+    one groupBy(src_domain). Nothing quadratic anywhere.
+    """
+    e = edges.select("src_url", "dst_url", "src_domain").distinct()
+    rev = (
+        edges.select(
+            F.col("dst_url").alias("src_url"),
+            F.col("src_url").alias("dst_url"),
+        )
+        .distinct()
+        .withColumn("recip", F.lit(True))
+    )
+    return (
+        e.join(rev, ["src_url", "dst_url"], "left")
+        .groupBy("src_domain")
+        .agg(
+            F.count("*").alias("n_edges"),
+            # sum skips nulls: an all-unreciprocated host would yield NULL
+            F.coalesce(F.sum(F.col("recip").cast("long")), F.lit(0)).alias(
+                "n_recip"
+            ),
+            F.round(
+                F.coalesce(F.sum(F.col("recip").cast("long")), F.lit(0))
+                / F.count("*"),
+                6,
+            ).alias("recip_share"),
+        )
+    )

@@ -5384,6 +5384,39 @@ FROM indeg GROUP BY 1 ORDER BY log2_bucket
 """
 
 
+def q_crawl_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity — the link-exchange spam metric
+    (Gyongyi & Garcia-Molina, Web spam taxonomy, AIRWeb 2005): share of
+    a host's page-level outgoing edges whose exact reverse edge exists.
+    The fixture's ladder/hub structures reciprocate by design (159
+    mutual pairs), so the shares are non-trivial on both sides.
+
+    Scale: operators/linkgraph.link_reciprocity — one dedup, one
+    composite-key self equi-join (each edge matches at most its unique
+    reverse — no fan-out), one groupBy(src_domain)."""
+    from spacetime_crawler4_spark.operators.linkgraph import link_reciprocity
+
+    return link_reciprocity(_crawl_links(spark)).orderBy(
+        F.desc("recip_share"), "src_domain"
+    )
+
+
+SQL_CRAWL_RECIPROCITY = f"""
+WITH e AS (SELECT DISTINCT src_url, dst_url, src_domain
+           FROM '{_CRAWL_LINKS_PARQUET}'),
+rev AS (SELECT DISTINCT dst_url AS src_url, src_url AS dst_url, TRUE AS recip
+        FROM '{_CRAWL_LINKS_PARQUET}')
+SELECT e.src_domain,
+       count(*) AS n_edges,
+       CAST(coalesce(sum(CASE WHEN recip THEN 1 END), 0) AS BIGINT) AS n_recip,
+       round(CAST(coalesce(sum(CASE WHEN recip THEN 1 END), 0) AS DOUBLE)
+             / count(*), 6) AS recip_share
+FROM e LEFT JOIN rev USING (src_url, dst_url)
+GROUP BY e.src_domain
+ORDER BY recip_share DESC, src_domain
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5592,4 +5625,5 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_crawl_degree_powerlaw,
             SQL_CRAWL_DEGREE_POWERLAW,
         ),
+        "crawl_reciprocity": (q_crawl_reciprocity, SQL_CRAWL_RECIPROCITY),
     }

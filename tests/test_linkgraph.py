@@ -320,3 +320,32 @@ class TestCocitation:
         assert cocitation_pairs(edges, min_common=2).count() == 0
         got = cocitation_pairs(edges, min_common=1).collect()
         assert [(r.url_a, r.url_b, r.n_common) for r in got] == [("a", "b", 1)]
+
+
+class TestReciprocity:
+    def test_shares_and_null_safe_zero(self, spark):
+        from spacetime_crawler4_spark.operators.linkgraph import (
+            link_reciprocity,
+        )
+
+        edges = spark.createDataFrame(
+            [
+                # hostA: a<->b mutual, a->c one-way (share 1/3... edges
+                # from hostA: a->b, a->c, b->a => 3 edges, 2 reciprocated)
+                ("a", "hostA", "b"),
+                ("b", "hostA", "a"),
+                ("a", "hostA", "c"),
+                ("a", "hostA", "c"),  # duplicate edge collapses
+                # hostB: entirely unreciprocated -> n_recip must be 0,
+                # not NULL (sum over all-null input)
+                ("x", "hostB", "y"),
+            ],
+            "src_url string, src_domain string, dst_url string",
+        )
+        got = {r.src_domain: r for r in link_reciprocity(edges).collect()}
+        assert got["hostA"].n_edges == 3
+        assert got["hostA"].n_recip == 2
+        assert got["hostA"].recip_share == pytest.approx(round(2 / 3, 6))
+        assert got["hostB"].n_edges == 1
+        assert got["hostB"].n_recip == 0
+        assert got["hostB"].recip_share == 0.0
