@@ -5422,7 +5422,7 @@ ORDER BY recip_share DESC, src_domain
 # --------------------------------------------------------------------------
 
 
-def registry() -> dict[str, tuple[SparkFn, str | None]]:
+def _base_registry() -> dict[str, tuple[SparkFn, str | None]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries. Round-4 rotation (VERDICT r3 next-round #1): the 32 queries
     # added in round 3 that never received a driver CORRECTNESS row come
@@ -5430,6 +5430,8 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
     # new round-4 crawl-state queries, then the highest-value r3-green
     # queries up to the window edge. Every query keeps its local DuckDB
     # oracle gate (tests/test_oracle_parity.py) regardless of position.
+    # ``registry()`` below re-derives the live order from driver-green
+    # history, so this literal's order only breaks ties.
     return {
         # --- never driver-checked (round-3 additions), original order ---
         "multimodal_jpeg_roundtrip": (q_multimodal_jpeg_roundtrip, SQL_MULTIMODAL_JPEG),
@@ -5581,16 +5583,17 @@ def registry() -> dict[str, tuple[SparkFn, str | None]]:
     }
 
 
-def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
-    """Queries staged for the NEXT round's correctness window.
+def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
+    """Queries staged for a FUTURE round's correctness window.
 
     The driver certifies only the first 50 ``registry()`` entries per
-    round, and the current window is exactly the 50 never-driver-checked
+    round, and the current window is exactly the never-driver-checked
     queries (tests/test_registry_window.py pins this). Queries authored
     after the window filled therefore stage HERE: they get the identical
     local DuckDB-oracle gate from day one (tests/test_oracle_parity.py
-    iterates both registries), and the round-5 rotation moves them into
-    ``registry()``'s leading window once the round-4 batch turns green.
+    iterates both registries), and ``registry()`` promotes them into the
+    leading window AUTOMATICALLY as driver-green history frees slots
+    (no manual rotation step at round boundaries).
     """
     return {
         "crawl_trap_templates": (q_crawl_trap_templates, SQL_CRAWL_TRAP_TEMPLATES),
@@ -5627,3 +5630,70 @@ def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
         ),
         "crawl_reciprocity": (q_crawl_reciprocity, SQL_CRAWL_RECIPROCITY),
     }
+
+
+# --------------------------------------------------------------------------
+# correctness-window rotation (automatic)
+# --------------------------------------------------------------------------
+
+CORRECTNESS_WINDOW = 50
+
+
+def _driver_green_names() -> frozenset[str]:
+    """Names with a green driver CORRECTNESS row in any recorded round
+    (same acceptance rule as tests/test_registry_window.py). Outside the
+    dev repo (e.g. a --py-files deployment with no CORRECTNESS_r*.json
+    next to the package) this is empty and the base order stands."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    names: set[str] = set()
+    root = _Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = _json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                names.add(name)
+    return frozenset(names)
+
+
+def _promotion(
+    base_order: list[str],
+    staged_order: list[str],
+    green: frozenset[str],
+    window: int = CORRECTNESS_WINDOW,
+) -> tuple[list[str], list[str]]:
+    """Pure rotation rule: never-driver-checked base queries keep the
+    leading window slots (definition order); staged queries fill the
+    remaining slots in staging order; driver-green base queries follow
+    (they keep their local oracle gate at every position). Returns
+    (registry order, still-staged names)."""
+    never = [n for n in base_order if n not in green]
+    slots = max(0, window - len(never))
+    promote = staged_order[:slots]
+    order = never + promote + [n for n in base_order if n in green]
+    return order, staged_order[len(promote) :]
+
+
+def registry() -> dict[str, tuple[SparkFn, str | None]]:
+    base = _base_registry()
+    staged = _staged_registry()
+    order, _ = _promotion(list(base), list(staged), _driver_green_names())
+    merged = {**base, **staged}
+    return {n: merged[n] for n in order}
+
+
+def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
+    staged = _staged_registry()
+    _, still = _promotion(
+        list(_base_registry()), list(staged), _driver_green_names()
+    )
+    return {n: staged[n] for n in still}

@@ -56,3 +56,40 @@ def test_pending_registry_is_disjoint_from_registry():
 
     overlap = set(pending_registry()) & set(registry())
     assert not overlap, f"pending queries shadow registry(): {sorted(overlap)}"
+
+
+def test_promotion_rule_pure():
+    from spacetime_crawler4_spark.queries import _promotion
+
+    base = [f"b{i}" for i in range(6)]
+    staged = ["s0", "s1", "s2"]
+    # no green history: window = base never-checked, nothing promotes
+    order, still = _promotion(base, staged, frozenset(), window=5)
+    assert order == base and still == staged
+    # partial green: freed slots promote staged IN ORDER, greens trail
+    order, still = _promotion(base, staged, frozenset({"b1", "b4"}), window=5)
+    assert order == ["b0", "b2", "b3", "b5", "s0", "b1", "b4"]
+    assert still == ["s1", "s2"]  # only what FITS the window promotes
+    # all green: staged owns the window, greens keep definition order
+    order, still = _promotion(base, staged, frozenset(base), window=5)
+    assert order == ["s0", "s1", "s2"] + base
+    assert still == []
+
+
+def test_round5_rotation_simulation(tmp_path, monkeypatch):
+    """With a (simulated) green CORRECTNESS_r04 over the current window,
+    registry() must promote every staged query into the leading slots —
+    the hands-off round-boundary rotation."""
+    import json
+
+    import spacetime_crawler4_spark.queries as q
+
+    base, staged = q._base_registry(), q._staged_registry()
+    green = q._driver_green_names() | frozenset(list(base)[:WINDOW])
+    monkeypatch.setattr(q, "_driver_green_names", lambda: green)
+    order = list(q.registry())
+    assert set(order) == set(base) | set(staged)
+    assert order[: len(staged)] == list(staged)  # staged lead the window
+    assert q.pending_registry() == {}
+    # and every staged name is now inside the certifiable window
+    assert set(staged) <= set(order[:WINDOW])
