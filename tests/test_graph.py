@@ -211,3 +211,45 @@ def test_trustrank_unknown_seeds_ignored_and_empty_raises(spark):
     assert got == want  # the absent seed contributes nothing
     with pytest.raises(ValueError, match="no seed"):
         trustrank(df, spark.createDataFrame([("ghost",)], "id string"))
+
+
+def test_pagerank_and_trustrank_randomized_differential(spark):
+    """Seeded random digraphs (with danglers, self-loops excluded by
+    construction, parallel edges deduped by the caller contract) — the
+    Spark operators must match the pure-python power iterations to
+    1e-10 on every node."""
+    import random
+
+    from spacetime_crawler4_spark.operators.graph import pagerank, trustrank
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n = rng.randint(5, 14)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = sorted(
+            {
+                (a, b)
+                for a in nodes
+                for b in rng.sample(nodes, rng.randint(0, 3))
+                if a != b
+            }
+        )
+        if not edges:
+            continue
+        seeds = rng.sample(sorted({u for e in edges for u in e}), 2)
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got_pr = {r.id: r.rank for r in pagerank(df, iterations=4).collect()}
+        want_pr = _py_pagerank(edges, iters=4)
+        got_tr = {
+            r.id: r.trust
+            for r in trustrank(
+                df,
+                spark.createDataFrame([(s,) for s in seeds], "id string"),
+                iterations=4,
+            ).collect()
+        }
+        want_tr = _py_trustrank(edges, seeds, iters=4)
+        assert set(got_pr) == set(want_pr) and set(got_tr) == set(want_tr)
+        for v in want_pr:
+            assert got_pr[v] == pytest.approx(want_pr[v], abs=1e-10), (trial, v)
+            assert got_tr[v] == pytest.approx(want_tr[v], abs=1e-10), (trial, v)
