@@ -957,7 +957,12 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined as SQL VALUES by the oracle, which then reproduces the entire
     post-training recall query. tests/test_similarity.py re-trains and
     asserts bit-equality with the frozen codebook (drift alarm) and that
-    the Lloyd objective (mean assignment cosine) improves monotonically."""
+    the Lloyd objective (mean assignment cosine) improves monotonically.
+
+    The frozen codebook is trained at sf0.01 (the driver's correctness
+    SF), so this oracle is SF-PINNED (queries.SF_PINNED_ORACLES): at any
+    other SF the Spark side retrains on the new corpus while the VALUES
+    table stays sf0.01 — tools/parity_sweep.py skips it accordingly."""
     emb = _t(spark, sf_dir, "embeddings")
     code = ivf_train(emb, k=8, iters=2, seed_ids=CENTROID_IDS)
     cdf = spark.createDataFrame(code, ["cell", "cvec"])
@@ -5637,6 +5642,11 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
 # --------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = 50
+
+# Oracles whose SQL inlines an artifact frozen at the driver's
+# correctness SF (sf0.01) and is therefore only byte-valid there;
+# cross-scale sweeps (tools/parity_sweep.py) skip them at other SFs.
+SF_PINNED_ORACLES = frozenset({"ann_ivf_trained_recall"})
 
 
 def _driver_green_names() -> frozenset[str]:
