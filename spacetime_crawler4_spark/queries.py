@@ -5422,6 +5422,33 @@ ORDER BY recip_share DESC, src_domain
 """
 
 
+CDX_N_FILES = 4
+
+
+def q_crawl_cdx_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted CDX manifest of the crawl's WET export — per admitted
+    page its archive file, byte offset, record length, and payload
+    digest, before a single byte is written. The archive layout
+    (sources/warc.write_wet_archive) is a pure function of (url, text):
+    file = md5-prefix bucket, within-file order = url sort, offset =
+    window cumsum of the frozen record-length formula — so the index
+    Common Crawl publishes alongside its WET files is here just a query.
+
+    Scale: one map-side projection (md5/octet_length/conv built-ins) +
+    ONE shuffle on file_id for the cumsum — the same shuffle the writer
+    itself needs; tests/test_warc_sink.py proves these predicted offsets
+    match the physical bytes byte-for-byte."""
+    from spacetime_crawler4_spark.sources.warc import wet_manifest
+
+    return wet_manifest(_pagetext(spark), CDX_N_FILES)
+
+
+def _sql_crawl_cdx_manifest() -> str:
+    from spacetime_crawler4_spark.sources.warc import wet_manifest_sql
+
+    return wet_manifest_sql(_CRAWL_PAGETEXT_PARQUET, CDX_N_FILES)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5634,6 +5661,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             SQL_CRAWL_DEGREE_POWERLAW,
         ),
         "crawl_reciprocity": (q_crawl_reciprocity, SQL_CRAWL_RECIPROCITY),
+        "crawl_cdx_manifest": (q_crawl_cdx_manifest, _sql_crawl_cdx_manifest()),
     }
 
 

@@ -69,13 +69,22 @@ def _gunzip_members(blob: bytes) -> bytes:
     return gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
 
 
+def _decode_header_value(raw: bytes) -> str:
+    # ISO 28500 §4: WARC header content is UTF-8; fall back to latin-1 so
+    # a garbage byte degrades one value instead of dropping the record
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in block.split(_CRLF):
         if b":" in line:
             k, v = line.split(b":", 1)
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                "latin-1", "replace"
+            headers[k.strip().decode("latin-1").lower()] = _decode_header_value(
+                v.strip()
             )
     return headers
 
@@ -327,3 +336,217 @@ def write_warc_dir(
     schema = StructType([StructField("n", IntegerType())])
     counts = pages.select(*cols).mapInPandas(_write, schema=schema).collect()
     return int(sum(r["n"] for r in counts))
+
+
+# ------------------------------------------------- deterministic WET layout
+#
+# Common Crawl ships extracted text as WET archives (conversion records)
+# and publishes a CDX index mapping each capture to (file, offset, length)
+# so a reader can fetch ONE record with a ranged GET. The layout below is
+# that shape made fully deterministic — file assignment, within-file order,
+# and every byte offset are pure functions of (url, text), so the whole
+# manifest is computable RELATIONALLY (window cumsum over record lengths)
+# before a single byte is written, and the physical writer can be checked
+# against the predicted manifest byte-for-byte (tests/test_warc_sink.py).
+#
+# Reference tie-in: the reference crawler persists page text only inside
+# its msgpack nap (crawler2/nap.py:238-291); an archive/export surface does
+# not exist there — this is the Common-Crawl-native export a Spark crawl
+# at scale needs (one file per bucket = one unit of future read
+# parallelism, exactly like warc_records' one-task-per-file ingest).
+
+WET_DATE = "2026-01-01T00:00:00Z"  # fixed capture date: layout stays pure
+
+
+def _wet_record_id(uri: str) -> str:
+    """Deterministic urn:uuid record id: md5(url) formatted 8-4-4-4-12.
+    Only its FIXED 36-char length matters for the relational length
+    formula; md5 keeps it engine-portable and collision-safe enough for
+    an archive id."""
+    import hashlib
+
+    h = hashlib.md5(uri.encode("utf-8")).hexdigest()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+def wet_record_bytes(uri: str, payload: bytes, date: str = WET_DATE) -> bytes:
+    """Canonical WET 'conversion' record: header block + payload + CRLF
+    CRLF separator. Field order and spelling are FROZEN — the relational
+    manifest predicts len() of this exact serialization."""
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{_wet_record_id(uri)}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + payload + _CRLF + _CRLF
+
+
+# fixed per-record byte overhead: everything except the url bytes, the
+# payload bytes, and the decimal digits of Content-Length. Derived from
+# the serializer itself so the formula can never drift from the bytes.
+WET_FIXED_OVERHEAD = len(wet_record_bytes("", b"")) - 1  # "0" is 1 digit
+
+
+def wet_manifest(pages: DataFrame, n_files: int) -> DataFrame:
+    """The predicted CDX manifest for ``write_wet_archive`` — PURE
+    relational plan (no UDF, no I/O): per url its archive file, byte
+    offset, record length, payload length, and content digest.
+
+    Plan shape at scale: one map-side projection (md5 / octet_length /
+    conv are JVM built-ins) + ONE shuffle on file_id for the window
+    cumsum — the same shuffle the physical writer needs anyway, so the
+    manifest is free. Ordered (filename, offset) as the output contract.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    plen = F.octet_length(text)
+    m = pages.select(
+        F.col("url"),
+        plen.alias("payload_len"),
+        F.md5(text).alias("digest"),
+        (
+            F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10).cast("long")
+            % n_files
+        ).alias("file_id"),
+    ).withColumn(
+        "rec_len",
+        F.lit(WET_FIXED_OVERHEAD)
+        + F.octet_length(F.col("url"))
+        + F.length(F.col("payload_len").cast("string"))
+        + F.col("payload_len"),
+    )
+    w = (
+        Window.partitionBy("file_id")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.withColumn("offset", F.sum("rec_len").over(w) - F.col("rec_len"))
+        .select(
+            F.format_string("wet-%05d.warc", F.col("file_id")).alias("filename"),
+            "url",
+            "offset",
+            "rec_len",
+            "payload_len",
+            "digest",
+        )
+        .orderBy("filename", "offset")
+    )
+
+
+def wet_manifest_sql(pagetext_parquet: str, n_files: int) -> str:
+    """DuckDB twin of ``wet_manifest`` — identical bucket hash (md5 hex
+    prefix), identical length formula, identical cumsum."""
+    return f"""
+WITH p AS (SELECT url, coalesce(text, '') AS text
+           FROM '{pagetext_parquet}'),
+m AS (SELECT url,
+             octet_length(encode(text)) AS payload_len,
+             md5(text) AS digest,
+             CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % {n_files}
+               AS file_id
+      FROM p),
+r AS (SELECT *,
+             {WET_FIXED_OVERHEAD} + octet_length(encode(url))
+               + length(CAST(payload_len AS VARCHAR)) + payload_len AS rec_len
+      FROM m)
+SELECT printf('wet-%05d.warc', file_id) AS filename,
+       url,
+       sum(rec_len) OVER (PARTITION BY file_id ORDER BY url
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - rec_len AS "offset",
+       rec_len,
+       payload_len,
+       digest
+FROM r
+ORDER BY filename, "offset"
+"""
+
+
+def write_wet_archive(
+    pages: DataFrame,
+    out_dir: str,
+    n_files: int,
+    compress: bool = False,
+) -> DataFrame:
+    """Write (url, text) as a deterministic WET archive: ``n_files``
+    buckets, one ``wet-NNNNN.warc`` each (``.gz`` with one gzip member
+    per record when ``compress`` — Common Crawl's record-granular
+    layout, so a ranged GET + single-member gunzip yields one record).
+
+    Returns the MEASURED manifest (same schema as ``wet_manifest``;
+    offsets/lengths are compressed sizes when ``compress``). Execution:
+    one shuffle (repartition on file_id), each task serializes its
+    bucket(s) sorted by url and writes them — bucket content is a pure
+    function of the data, never of task placement. On a real cluster
+    ``out_dir`` must be shared storage (same contract as any
+    foreachPartition file sink)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    os.makedirs(out_dir, exist_ok=True)
+    gz = ".gz" if compress else ""
+    src = pages.select(
+        "url",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (
+            F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10).cast("long")
+            % n_files
+        ).alias("file_id"),
+    ).repartition(n_files, "file_id")
+
+    def _write(batches):
+        import gzip as _gzip
+        import hashlib
+
+        rows: dict[int, list[tuple[str, str]]] = {}
+        for pdf in batches:
+            for u, t, fid in zip(pdf["url"], pdf["text"], pdf["file_id"]):
+                rows.setdefault(int(fid), []).append((u, t))
+        out = {
+            "filename": [],
+            "url": [],
+            "offset": [],
+            "rec_len": [],
+            "payload_len": [],
+            "digest": [],
+        }
+        for fid in sorted(rows):
+            fname = f"wet-{fid:05d}.warc{gz}"
+            blob = bytearray()
+            for u, t in sorted(rows[fid]):
+                payload = t.encode("utf-8")
+                rec = wet_record_bytes(u, payload)
+                if compress:
+                    rec = _gzip.compress(rec, mtime=0)
+                out["filename"].append(fname)
+                out["url"].append(u)
+                out["offset"].append(len(blob))
+                out["rec_len"].append(len(rec))
+                out["payload_len"].append(len(payload))
+                out["digest"].append(hashlib.md5(payload).hexdigest())
+                blob += rec
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(bytes(blob))
+        yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("filename", StringType()),
+            StructField("url", StringType()),
+            StructField("offset", LongType()),
+            StructField("rec_len", LongType()),
+            StructField("payload_len", LongType()),
+            StructField("digest", StringType()),
+        ]
+    )
+    return src.mapInPandas(_write, schema=schema).orderBy("filename", "offset")
