@@ -5449,6 +5449,73 @@ def _sql_crawl_cdx_manifest() -> str:
     return wet_manifest_sql(_CRAWL_PAGETEXT_PARQUET, CDX_N_FILES)
 
 
+_CRAWL_WAVE1_PARQUET = _os.environ.get(
+    "SPARK_GRAFT_CRAWL_WAVE1",
+    _os.path.join(_os.path.dirname(_CRAWL_STATE_PARQUET), "frontier_wave1.parquet"),
+)
+
+
+def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain diff between two crawl snapshots — the committed
+    wave-1 frontier vs the final one. This is the Iceberg
+    incremental-read pattern over the store's per-wave snapshot commits
+    (crawl/store.py; SURVEY §1.2 S5): what each later wave DID — URLs
+    discovered after the checkpoint, pending rows it resolved, finish
+    verdicts it assigned.
+
+    The frontier is insert-or-update only (urlhash is the PK; rows never
+    leave, domains never change), so a LEFT join final←wave1 is total.
+    Scale: one shuffle join on the PK + one groupBy — at 10^10 URLs both
+    sides are bucketed by urlhash in the store, so the join co-locates."""
+    t0 = spark.read.parquet(_CRAWL_WAVE1_PARQUET).select(
+        "urlhash",
+        F.col("status").alias("status0"),
+        F.col("finish").alias("finish0"),
+    )
+    t1 = _crawl_state(spark).select("urlhash", "domain", "status", "finish")
+    j = t1.join(t0, "urlhash", "left")
+    return (
+        j.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum(F.col("status0").isNull().cast("long")).alias("n_new"),
+            F.sum(
+                (
+                    F.col("status0").isNotNull()
+                    & (F.col("status0") != 2)
+                    & (F.col("status") == 2)
+                ).cast("long")
+            ).alias("n_resolved"),
+            F.sum(
+                (
+                    F.col("finish0").isNotNull()
+                    & (F.col("finish0") != F.col("finish"))
+                ).cast("long")
+            ).alias("n_reverdicted"),
+        )
+        .orderBy("domain")
+    )
+
+
+SQL_CRAWL_SNAPSHOT_DELTA = f"""
+WITH t0 AS (SELECT urlhash, status AS status0, finish AS finish0
+            FROM '{_CRAWL_WAVE1_PARQUET}'),
+t1 AS (SELECT urlhash, domain, status, finish FROM '{_CRAWL_STATE_PARQUET}')
+SELECT domain,
+       count(*) AS n_final,
+       CAST(coalesce(sum(CASE WHEN status0 IS NULL THEN 1 END), 0) AS BIGINT)
+         AS n_new,
+       CAST(coalesce(sum(CASE WHEN status0 IS NOT NULL AND status0 <> 2
+                               AND status = 2 THEN 1 END), 0) AS BIGINT)
+         AS n_resolved,
+       CAST(coalesce(sum(CASE WHEN finish0 IS NOT NULL AND finish0 <> finish
+                          THEN 1 END), 0) AS BIGINT) AS n_reverdicted
+FROM t1 LEFT JOIN t0 USING (urlhash)
+GROUP BY domain
+ORDER BY domain
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5662,6 +5729,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         ),
         "crawl_reciprocity": (q_crawl_reciprocity, SQL_CRAWL_RECIPROCITY),
         "crawl_cdx_manifest": (q_crawl_cdx_manifest, _sql_crawl_cdx_manifest()),
+        "crawl_snapshot_delta": (q_crawl_snapshot_delta, SQL_CRAWL_SNAPSHOT_DELTA),
     }
 
 

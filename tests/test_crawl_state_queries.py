@@ -25,17 +25,21 @@ def test_committed_state_matches_fresh_crawl(spark, corpus_dir):
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     from gen_crawl_state import (
         PAGETEXT_OUT,
+        WAVE1_OUT,
         WORDSTATS_OUT,
         crawl_state_tables,
         pagetext_table,
+        wave1_table,
     )
 
     fresh, fresh_ws = crawl_state_tables(spark, corpus_dir)
     fresh_pt = pagetext_table(spark, corpus_dir, fresh)
+    fresh_w1 = wave1_table(spark, corpus_dir)
     for committed, fresh_tbl, label in [
         (pq.read_table(_CRAWL_STATE_PARQUET), fresh, "frontier"),
         (pq.read_table(WORDSTATS_OUT), fresh_ws, "wordstats"),
         (pq.read_table(PAGETEXT_OUT), fresh_pt, "pagetext"),
+        (pq.read_table(WAVE1_OUT), fresh_w1, "frontier_wave1"),
     ]:
         assert committed.column_names == fresh_tbl.column_names, label
         assert committed.num_rows == fresh_tbl.num_rows, label
@@ -66,3 +70,25 @@ def test_crawl_state_queries_cover_the_gates(spark):
     dep = q_crawl_state_depth_audit(spark, "").collect()
     assert len(dep) >= 3
     assert any(r["n_sifted"] > 0 for r in dep)
+
+
+def test_snapshot_delta_has_signal(spark):
+    """The wave-1 → final diff actually exercises every delta column:
+    later waves discovered new URLs, resolved pending ones, and assigned
+    new finish verdicts — and the totals reconcile with the snapshots."""
+    import pyarrow.parquet as pq_
+
+    from spacetime_crawler4_spark.queries import (
+        _CRAWL_WAVE1_PARQUET,
+        q_crawl_snapshot_delta,
+    )
+
+    rows = q_crawl_snapshot_delta(spark, "").collect()
+    n_final = sum(r["n_final"] for r in rows)
+    n_new = sum(r["n_new"] for r in rows)
+    assert n_final == 252
+    t0 = pq_.read_table(_CRAWL_WAVE1_PARQUET)
+    assert n_final - n_new == t0.num_rows  # every wave-1 row persists
+    assert n_new > 0
+    assert sum(r["n_resolved"] for r in rows) > 0
+    assert sum(r["n_reverdicted"] for r in rows) > 0

@@ -97,7 +97,10 @@ def test_incremental_crawl_foreachbatch(spark, corpus_dir, tmp_path, engine_fron
         checkpoint_dir=str(tmp_path / "ck3"),
     )
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(600)
+    # returns False on timeout — fail HERE with a clear message instead of
+    # comparing a half-written frontier below (seen once when a co-tenant
+    # bench starved the JVM: TaskMemoryManager page-allocation stalls)
+    assert q.awaitTermination(1800), "streaming crawl did not finish in 30min"
 
     from spacetime_crawler4_spark.crawl.store import SnapshotStore
 

@@ -35,6 +35,7 @@ OUT = (
 LINKS_OUT = OUT.parent / "links.parquet"
 WORDSTATS_OUT = OUT.parent / "wordstats.parquet"
 PAGETEXT_OUT = OUT.parent / "pagetext.parquet"
+WAVE1_OUT = OUT.parent / "frontier_wave1.parquet"
 
 
 def crawl_state_tables(spark, corpus_dir: str):
@@ -67,6 +68,28 @@ def crawl_state_tables(spark, corpus_dir: str):
         CrawlConfig(whitelist=FIXTURE_WHITELIST),
     )
     frontier = eng.run()
+    scalars = _frontier_scalars(frontier)
+
+    ws_rows = (
+        frontier.filter(
+            F.size(F.map_keys(F.coalesce("words", F.create_map()))) > 0
+        )
+        .select("url", "domain", "finish", F.explode("words").alias("word", "cnt"))
+        .orderBy("url", "word")
+        .collect()
+    )
+    ws_cols = ws_rows[0].asDict().keys() if ws_rows else []
+    wordstats = pa.table({c: [r[c] for r in ws_rows] for c in ws_cols})
+    return scalars, wordstats
+
+
+def _frontier_scalars(frontier):
+    """Frontier scalar columns as a pyarrow table, (gen, seq)-sorted for
+    byte-stable committed output (maps/arrays reduced to counts)."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
     rows = (
         frontier.select(
             "urlhash",
@@ -93,19 +116,30 @@ def crawl_state_tables(spark, corpus_dir: str):
         .collect()
     )
     cols = rows[0].asDict().keys() if rows else []
-    scalars = pa.table({c: [r[c] for r in rows] for c in cols})
+    return pa.table({c: [r[c] for r in rows] for c in cols})
 
-    ws_rows = (
-        frontier.filter(
-            F.size(F.map_keys(F.coalesce("words", F.create_map()))) > 0
-        )
-        .select("url", "domain", "finish", F.explode("words").alias("word", "cnt"))
-        .orderBy("url", "word")
-        .collect()
+
+def wave1_table(spark, corpus_dir: str):
+    """The frontier AFTER EXACTLY ONE WAVE (max_waves=1) — the committed
+    mid-crawl snapshot. Paired with the final frontier it makes the
+    store's time-travel surface driver-checkable: crawl_snapshot_delta
+    diffs the two exactly like an Iceberg incremental read between
+    snapshot commits (crawl/store.py commits once per wave)."""
+    from spacetime_crawler4_spark.crawl.engine import CrawlEngine
+    from spacetime_crawler4_spark.crawl.schema import CrawlConfig
+    from spacetime_crawler4_spark.sources.fixture import (
+        FIXTURE_WHITELIST,
+        SEED_URLS,
     )
-    ws_cols = ws_rows[0].asDict().keys() if ws_rows else []
-    wordstats = pa.table({c: [r[c] for r in ws_rows] for c in ws_cols})
-    return scalars, wordstats
+
+    eng = CrawlEngine(
+        spark,
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        list(SEED_URLS),
+        CrawlConfig(whitelist=FIXTURE_WHITELIST, max_waves=1),
+    )
+    return _frontier_scalars(eng.run())
 
 
 def crawl_state_table(spark, corpus_dir: str):
@@ -207,6 +241,7 @@ def main() -> None:
         tbl, wordstats = crawl_state_tables(spark, td)
         links = links_table(spark, td, tbl)
         pagetext = pagetext_table(spark, td, tbl)
+        wave1 = wave1_table(spark, td)
     OUT.parent.mkdir(parents=True, exist_ok=True)
     pq.write_table(tbl, OUT, compression="zstd")
     print(f"wrote {OUT} rows={tbl.num_rows}")
@@ -216,6 +251,8 @@ def main() -> None:
     print(f"wrote {WORDSTATS_OUT} rows={wordstats.num_rows}")
     pq.write_table(pagetext, PAGETEXT_OUT, compression="zstd")
     print(f"wrote {PAGETEXT_OUT} rows={pagetext.num_rows}")
+    pq.write_table(wave1, WAVE1_OUT, compression="zstd")
+    print(f"wrote {WAVE1_OUT} rows={wave1.num_rows}")
 
 
 if __name__ == "__main__":
