@@ -61,6 +61,27 @@ def main(argv: list[str] | None = None) -> dict:
         "(operators/linkgraph consumes this shape)",
     )
     ap.add_argument(
+        "--wet-out",
+        default=None,
+        metavar="DIR",
+        help="after the crawl, export the admitted pages' extracted text "
+        "as a deterministic WET archive under DIR (sources/warc."
+        "write_wet_archive) plus its CDX manifest at DIR/cdx.parquet — "
+        "the Common-Crawl-shaped hand-off to a training pipeline",
+    )
+    ap.add_argument(
+        "--wet-files",
+        type=int,
+        default=16,
+        metavar="N",
+        help="WET bucket count for --wet-out (one archive file per bucket)",
+    )
+    ap.add_argument(
+        "--wet-gzip",
+        action="store_true",
+        help="gzip each WET record as its own member (ranged-GET layout)",
+    )
+    ap.add_argument(
         "--policy",
         default="fifo",
         choices=["fifo", "shallow", "deep", "domain_rank"],
@@ -163,8 +184,71 @@ def main(argv: list[str] | None = None) -> dict:
         ]
     if args.dump:
         frontier.orderBy("gen", "seq").drop("words").show(args.dump, truncate=60)
+    if args.wet_out:
+        out["wet"] = export_wet(
+            spark,
+            frontier,
+            args.pages,
+            args.wet_out,
+            n_files=args.wet_files,
+            compress=args.wet_gzip,
+        )
     print(json.dumps(out))
     return out
+
+
+def export_wet(
+    spark,
+    frontier,
+    pages_path: str,
+    out_dir: str,
+    n_files: int = 16,
+    compress: bool = False,
+) -> dict:
+    """Export the crawl's admitted pages (status=DOWNLOADED, finish=OK)
+    as a deterministic WET archive + CDX manifest parquet.
+
+    Text comes from the PRODUCTION parse UDF over the corpus html (the
+    same canonical newline-joined serialization the crawl itself
+    tokenized), so the archive is the crawl's text plane made portable.
+    One semi join against the corpus + the writer's own file_id shuffle;
+    the manifest lands at ``out_dir/cdx.parquet``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4_spark.crawl.schema import FINISH, STATUS
+    from spacetime_crawler4_spark.operators.textplane import parse_page_udf
+    from spacetime_crawler4_spark.sources.warc import write_wet_archive
+
+    admitted = frontier.filter(
+        (F.col("status") == STATUS.IS_DOWN) & (F.col("finish") == FINISH.OK)
+    ).select("url")
+    pages = (
+        spark.read.parquet(pages_path)
+        .join(admitted, "url", "left_semi")
+        .select(
+            "url",
+            parse_page_udf(
+                F.col("url"), F.col("html"), F.lit("text/html")
+            ).alias("p"),
+        )
+        .select("url", F.col("p.text").alias("text"))
+    )
+    manifest = write_wet_archive(pages, out_dir, n_files, compress=compress)
+    manifest_path = os.path.join(out_dir, "cdx.parquet")
+    # the measured manifest is the write's return frame — persist it once
+    pdf = manifest.toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(pa.Table.from_pandas(pdf, preserve_index=False), manifest_path)
+    return {
+        "records": int(len(pdf)),
+        "files": int(pdf["filename"].nunique()),
+        "bytes": int((pdf["rec_len"]).sum()),
+        "manifest": manifest_path,
+    }
 
 
 if __name__ == "__main__":
