@@ -141,3 +141,58 @@ def pack_sequences(
         seq_end.alias("seq_end"),
         (seq_end - seq_begin + 1).cast("bigint").alias("n_seqs"),
     )
+
+
+def shard_assignments(
+    docs: DataFrame,
+    target_tokens: int = 2000,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced OUTPUT-shard assignment — the data-layout step that
+    turns an admitted corpus into evenly-sized training shards (the
+    WebDataset / Common-Crawl-segment shape). Documents are laid out in
+    ``id_col`` order within each ``group_col`` value; a document starts
+    shard ``floor(start_offset / target_tokens)`` where start_offset is
+    the running token count before it — so every shard holds
+    ~``target_tokens`` tokens, deterministically, with no driver-side
+    bin packing.
+
+    One row per (group, shard): n_docs, n_tokens, first/last doc id.
+    Integers only — hash-exact across engines.
+
+    Scale shape: tokenize is map-only; the cumulative sum is a window
+    PARTITIONED BY group (per-lang/per-source parallelism — no global
+    single-partition sort), then one partial-aggregated groupBy. At
+    100 TB the group key is (source, date-bucket), keeping every window
+    partition bounded.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.size(sql_tokens(F.col(text_col))).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = toks.select(
+        "grp",
+        "id",
+        "n_toks",
+        F.floor(
+            (F.sum("n_toks").over(w) - F.col("n_toks")) / F.lit(target_tokens)
+        ).cast("int").alias("shard"),
+    )
+    return (
+        assigned.groupBy("grp", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("id").alias("first_doc"),
+            F.max("id").alias("last_doc"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -738,3 +738,83 @@ def line_dedup(
             ).alias("cleaned"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 50,
+    min_cos: float = 0.3,
+) -> DataFrame:
+    """Sparse tf-idf cosine near-dup pairs — the TERM-vector twin of
+    embedding_near_pairs (reference has no ranking plane at all; this is
+    the all-pairs-similarity-search shape of Bayardo et al., WWW'07
+    "Scaling Up All Pairs Similarity Search", reduced to its df-capped
+    core).
+
+    The vector space is defined over terms with document frequency
+    <= ``max_df`` ONLY (high-df terms carry negligible idf weight and
+    quadratic join fan-out; dropping them from the SPACE — not just the
+    join — keeps norms, dots and therefore cosines exact within the
+    capped space, the same df-cap contract as ``word_shingles``).
+    Weights are tf * ln(1 + N/df) in double; cosine is rounded to 6
+    places like every similarity plane here.
+
+    Returns (id_a, id_b, cos) with id_a < id_b and cos >= ``min_cos``.
+
+    Scale shape: tf/df are two partial-aggregated groupBys; the pair
+    stage is a posting-list self-join keyed on term, bounded by
+    max_df²/2 candidates per term — never corpus²; norms join back by
+    id (broadcastable per-doc table at audit scale, hash join at 100 TB).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(sql_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("_n")
+    )
+    df = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * F.log(F.lit(1.0) + F.col("_n") / F.col("df"))).alias("w"),
+        )
+    )
+    # the weight frame feeds BOTH pair-join sides and the norm aggregate;
+    # without a materialization Catalyst re-runs the tokenize+tf+df subtree
+    # three times (the same shared-stage rule as connected_components'
+    # edge list — at corpus scale this is a persisted/bucketed table)
+    w = w.localCheckpoint(eager=True)
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), F.col("term").alias("term_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, (a.term == b.term_b) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )

@@ -204,3 +204,53 @@ def source_mixture_weights(
         F.round(target_share, 6).alias("target_share"),
         F.round(target_share / share, 6).alias("weight"),
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    shard_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture (the mT5/XLM-R recipe,
+    arXiv:1910.10683 §3.4.2 / arXiv:1911.02116 §3): the sampling share
+    of group i becomes p_i^alpha / sum_j p_j^alpha, flattening the head
+    and boosting the tail (alpha=1 keeps the natural mixture, alpha=0 is
+    uniform). The complement of source_mixture_weights' explicit-target
+    form — here the target derives from the observed shares themselves.
+
+    (group, n_docs, n_toks, share, temp_share, boost) — boost =
+    temp_share / share, the per-group up/down-sampling factor a
+    Bernoulli or repetition pass applies downstream.
+
+    Scale shape: ONE partial-aggregated groupBy over the group key plus
+    a 1-row broadcast of the two normalizers; shares derive from exact
+    BIGINT token counts, rounding only at the emitted columns.
+    """
+    from spacetime_crawler4_spark.operators.dedup import sql_tokens
+
+    per = (
+        docs.select(
+            F.col(shard_col).alias("grp"),
+            F.size(sql_tokens(F.col(text_col))).cast("bigint").alias("n"),
+        )
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_toks"))
+    )
+    share = F.col("n_toks") / F.col("_total")
+    totals = per.agg(F.sum("n_toks").alias("_total"))
+    powed = per.crossJoin(F.broadcast(totals)).withColumn(
+        "_p_alpha", F.pow(share, F.lit(alpha))
+    )
+    z = powed.agg(F.sum("_p_alpha").alias("_z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            F.col("grp").alias(shard_col),
+            "n_docs",
+            "n_toks",
+            F.round(share, 6).alias("share"),
+            F.round(F.col("_p_alpha") / F.col("_z"), 6).alias("temp_share"),
+            F.round((F.col("_p_alpha") / F.col("_z")) / share, 6).alias("boost"),
+        )
+    )

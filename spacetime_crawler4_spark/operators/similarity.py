@@ -564,3 +564,55 @@ def grouped_elementwise_mean(
             ).alias("mean"),
         )
     )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: per
+    query, the top-``k`` most-similar vectors whose ``label_col``
+    DIFFERS from the query's — the near-miss negatives a triplet or
+    InfoNCE trainer wants (highest-loss negatives, the FlagEmbedding /
+    DPR curation step).
+
+    (query_id, neighbor_id, neighbor_label, cos, rank) — exact cosine,
+    ties broken by neighbor id.
+
+    Scale shape: identical to brute_force_topk — the (small) query set
+    broadcasts against the corpus, which streams ONCE through a
+    BroadcastNestedLoopJoin; per-query top-k is a window shuffled on
+    query_id only (rows = |queries| x corpus, never corpus²). At real
+    ANN scale swap the candidate stage for ivf_topk_multiprobe and keep
+    the label-mismatch filter + window unchanged.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos", "rank")
+    )

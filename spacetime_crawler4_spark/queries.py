@@ -5682,6 +5682,279 @@ def _base_registry() -> dict[str, tuple[SparkFn, str | None]]:
     }
 
 
+# --------------------------------------------------------------------------
+# round-4 session-11 staged surface: term-vector near-dup, quality-aware
+# master election, hard-negative mining, host-graph components,
+# token-balanced shard layout, temperature mixture, retention cohorts
+# --------------------------------------------------------------------------
+
+_TFIDF_MAX_DF = 50
+_TFIDF_MIN_COS = 0.3
+
+
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine near-dup pairs (Bayardo et al. WWW'07 shape):
+    the TERM-vector complement of the shingle-Jaccard and embedding-cosine
+    planes. df-capped space (df <= 50) bounds the posting self-join at
+    max_df²/2 candidates per term — never corpus²."""
+    from spacetime_crawler4_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, max_df=_TFIDF_MAX_DF, min_cos=_TFIDF_MIN_COS
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_TFIDF_COSINE = f"""
+WITH toks AS (SELECT doc_id AS id, unnest({_DUCK_TOKS}) AS term FROM documents),
+tf AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY id, term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+          HAVING count(*) <= {_TFIDF_MAX_DF}),
+w AS (SELECT id, tf.term, tf * ln(1 + n / df) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+         GROUP BY a.id, b.id)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {_TFIDF_MIN_COS}
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_master_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dup-cluster master election (the FineWeb refinement
+    of keep-min-id): over the minhash-LSH connected components, each
+    cluster keeps its LONGEST member (token count desc, doc_id asc
+    tie-break) — retaining the most complete copy instead of an arbitrary
+    one. Emits the per-cluster ledger: elected master, its token count,
+    cluster size, and how many rows a keep-master pass drops.
+
+    Scale: the component labeling is the existing O(log n)
+    pointer-jumping CC; the election is ONE min(struct) aggregate over
+    (cluster_id) — no window, no second shuffle beyond the label key."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5)
+    cc = connected_components(pairs)
+    words = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(sql_tokens(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+    return (
+        cc.join(words, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_words")).alias("neg_words"), F.col("id").alias("id")
+                )
+            ).alias("_e"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("_e.id").alias("kept_doc"),
+            (-F.col("_e.neg_words")).alias("kept_words"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DEDUP_MASTER_QUALITY = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+words AS (SELECT doc_id AS id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_words
+          FROM documents),
+ranked AS (SELECT comp.cluster_id, comp.id, words.n_words,
+                  row_number() OVER (PARTITION BY comp.cluster_id
+                                     ORDER BY words.n_words DESC, comp.id ASC) AS rn,
+                  count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+           FROM comp JOIN words USING (id))
+SELECT cluster_id, id AS kept_doc, n_words AS kept_words,
+       n_members, n_members - 1 AS n_dropped
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/FlagEmbedding curation): per query
+    vector, the top-3 most-cosine-similar vectors with a DIFFERENT label
+    — the near-miss negatives contrastive training wants. Broadcast
+    query set, single corpus stream, per-query window."""
+    from spacetime_crawler4_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, _queries_df(emb), k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_ANN_HARD_NEGATIVES = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+      WHERE vec_id % {ANN_QUERY_MOD} = 0),
+s AS (SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             {_duck_cos("qv", "e.v")} AS cos
+      FROM q JOIN e ON e.label <> q.qlabel),
+r AS (SELECT query_id, neighbor_id, neighbor_label, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, neighbor_label, cos, rank FROM r WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+def q_crawl_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the host link graph (Broder et al.
+    web-structure audit): cross-host edges from the committed engine-truth
+    anchor index close into islands via the same O(log n) pointer-jumping
+    CC the dedup plane uses — string host labels, min = lexicographic.
+    Isolated-from-other-hosts domains never enter a pair and stay out, by
+    the connected_components contract. Per-island: size + member hosts."""
+    from spacetime_crawler4_spark.operators.dedup import connected_components
+
+    edges = (
+        _crawl_links(spark)
+        .filter(F.col("src_domain") != F.col("dst_domain"))
+        .select(
+            F.least("src_domain", "dst_domain").alias("id_a"),
+            F.greatest("src_domain", "dst_domain").alias("id_b"),
+        )
+        .distinct()
+    )
+    cc = connected_components(edges)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.array_join(F.array_sort(F.collect_list("id")), ",").alias("hosts"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SQL_CRAWL_HOST_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+    SELECT DISTINCT least(src_domain, dst_domain) AS id_a,
+                    greatest(src_domain, dst_domain) AS id_b
+    FROM '{_CRAWL_LINKS_PARQUET}' WHERE src_domain <> dst_domain),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+SELECT cluster_id, count(*) AS n_hosts,
+       string_agg(id, ',' ORDER BY id) AS hosts
+FROM comp GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+_SHARD_TARGET_TOKENS = 2000
+
+
+def q_text_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output-shard layout (WebDataset / CC-segment shape):
+    per-lang running token count assigns each doc to shard
+    floor(start_offset/target); one manifest row per (lang, shard).
+    All-integer, hash-exact."""
+    from spacetime_crawler4_spark.operators.chunking import shard_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assignments(docs, target_tokens=_SHARD_TARGET_TOKENS).orderBy(
+        "lang", "shard"
+    )
+
+
+SQL_TEXT_SHARD_MANIFEST = f"""
+WITH toks AS (SELECT lang, doc_id AS id,
+                     CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+              FROM documents),
+assigned AS (SELECT lang, id, n_toks,
+                    CAST(floor((sum(n_toks) OVER (PARTITION BY lang ORDER BY id
+                                ROWS UNBOUNDED PRECEDING) - n_toks)
+                               / {_SHARD_TARGET_TOKENS}) AS INTEGER) AS shard
+             FROM toks)
+SELECT lang, shard, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+       min(id) AS first_doc, max(id) AS last_doc
+FROM assigned GROUP BY lang, shard ORDER BY lang, shard
+"""
+
+
+_TEMP_ALPHA = 0.3
+
+
+def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (mT5 §3.4.2 / XLM-R): sampling
+    share p^0.3/Z per lang — flattens the head, boosts the tail; emits
+    the per-group boost factor a downstream sampler applies."""
+    from spacetime_crawler4_spark.operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture(docs, alpha=_TEMP_ALPHA).orderBy("lang")
+
+
+SQL_SAMPLE_TEMPERATURE = f"""
+WITH per AS (SELECT lang, count(*) AS n_docs,
+                    sum(CAST(len({_DUCK_TOKS}) AS BIGINT)) AS n_toks
+             FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_toks) AS total FROM per),
+powed AS (SELECT lang, n_docs, n_toks, n_toks / total AS share,
+                 pow(n_toks / total, {_TEMP_ALPHA}) AS p_alpha
+          FROM per CROSS JOIN tot),
+z AS (SELECT sum(p_alpha) AS z FROM powed)
+SELECT lang, n_docs, n_toks, round(share, 6) AS share,
+       round(p_alpha / z, 6) AS temp_share,
+       round((p_alpha / z) / share, 6) AS boost
+FROM powed CROSS JOIN z ORDER BY lang
+"""
+
+
+_RETENTION_MAX_DAY = 7
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date;
+    cell (cohort_date, day_offset) counts distinct cohort members active
+    exactly day_offset days later (0..7). Two keyed aggregates + one
+    broadcastable first-seen join — the standard product-analytics query
+    the events plane was missing."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= _RETENTION_MAX_DAY)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id)
+SELECT cohort_date,
+       date_diff('day', cohort_date, d) AS day_offset,
+       count(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN first USING (user_id)
+WHERE date_diff('day', cohort_date, d) <= {_RETENTION_MAX_DAY}
+GROUP BY cohort_date, day_offset ORDER BY cohort_date, day_offset
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -5730,6 +6003,19 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_reciprocity": (q_crawl_reciprocity, SQL_CRAWL_RECIPROCITY),
         "crawl_cdx_manifest": (q_crawl_cdx_manifest, _sql_crawl_cdx_manifest()),
         "crawl_snapshot_delta": (q_crawl_snapshot_delta, SQL_CRAWL_SNAPSHOT_DELTA),
+        "dedup_tfidf_cosine": (q_dedup_tfidf_cosine, SQL_DEDUP_TFIDF_COSINE),
+        "dedup_master_quality": (q_dedup_master_quality, SQL_DEDUP_MASTER_QUALITY),
+        "ann_hard_negatives": (q_ann_hard_negatives, SQL_ANN_HARD_NEGATIVES),
+        "crawl_host_components": (
+            q_crawl_host_components,
+            SQL_CRAWL_HOST_COMPONENTS,
+        ),
+        "text_shard_manifest": (q_text_shard_manifest, SQL_TEXT_SHARD_MANIFEST),
+        "sample_temperature_mixture": (
+            q_sample_temperature_mixture,
+            SQL_SAMPLE_TEMPERATURE,
+        ),
+        "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     }
 
 

@@ -1,0 +1,150 @@
+"""Round-4 session-11 operators: tf-idf cosine pairs, hard-negative
+mining, token-balanced shard layout, temperature mixture, quality-aware
+master election (query-level), host components (query-level).
+
+Hand-computed expectations; the engine-vs-DuckDB gate for the staged
+queries themselves lives in tests/test_oracle_parity.py (pending_registry
+is swept automatically)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from spacetime_crawler4_spark.operators.chunking import shard_assignments
+from spacetime_crawler4_spark.operators.dedup import tfidf_cosine_pairs
+from spacetime_crawler4_spark.operators.sampling import temperature_mixture
+from spacetime_crawler4_spark.operators.similarity import hard_negative_topk
+
+
+class TestTfidfCosine:
+    def test_identical_docs_cos_one(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "alpha beta gamma"),
+                (3, "delta epsilon zeta eta"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = tfidf_cosine_pairs(df, min_cos=0.0).collect()
+        by_pair = {(r.id_a, r.id_b): r.cos for r in rows}
+        assert by_pair[(1, 2)] == 1.0
+        # doc 3 shares no term with 1/2 — no pair row at all
+        assert (1, 3) not in by_pair and (2, 3) not in by_pair
+
+    def test_hand_computed_cosine(self, spark):
+        # doc1: a b   doc2: a c   N=2, df(a)=2, df(b)=df(c)=1
+        # w = tf * ln(1 + N/df): wa = ln(2), wb = wc = ln(3)
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a c")], "doc_id long, text string"
+        )
+        rows = tfidf_cosine_pairs(df, min_cos=0.0).collect()
+        assert len(rows) == 1
+        wa, wb = math.log(2.0), math.log(3.0)
+        expect = round(wa * wa / (math.hypot(wa, wb) ** 2), 6)
+        assert rows[0].cos == expect
+
+    def test_df_cap_excludes_term_from_space(self, spark):
+        # 'common' is in all 4 docs; with max_df=3 it is dropped from the
+        # SPACE, so docs sharing only 'common' have no pair row.
+        df = spark.createDataFrame(
+            [
+                (1, "common only here alpha"),
+                (2, "common beta unrelated stuff"),
+                (3, "common gamma other words"),
+                (4, "common delta more things"),
+            ],
+            "doc_id long, text string",
+        )
+        assert tfidf_cosine_pairs(df, max_df=3, min_cos=0.0).count() == 0
+
+
+class TestHardNegatives:
+    def test_same_label_excluded_and_ranked(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),  # query
+                (1, [1.0, 0.0], 0),  # identical but SAME label -> excluded
+                (2, [0.9, 0.1], 1),  # nearest different-label
+                (3, [0.0, 1.0], 1),  # orthogonal
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        q = emb.filter(F.col("vec_id") == 0)
+        rows = hard_negative_topk(emb, q, k=2).collect()
+        assert [r.neighbor_id for r in rows] == [2, 3]
+        assert all(r.neighbor_label != 0 for r in rows)
+        assert rows[0].rank == 1 and rows[0].cos > rows[1].cos
+
+    def test_k_bounds_output(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0], i % 2) for i in range(10)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        q = emb.filter(F.col("vec_id") == 0)
+        assert hard_negative_topk(emb, q, k=3).count() == 3
+
+
+class TestShardAssignments:
+    def test_shard_boundaries_and_totals(self, spark):
+        # 5 docs of 3 tokens each, one lang, target 6 tokens/shard:
+        # offsets 0,3,6,9,12 -> shards 0,0,1,1,2
+        df = spark.createDataFrame(
+            [(i, "one two three", "en") for i in range(5)],
+            "doc_id long, text string, lang string",
+        )
+        rows = shard_assignments(df, target_tokens=6).orderBy("shard").collect()
+        assert [(r.shard, r.n_docs, r.n_tokens) for r in rows] == [
+            (0, 2, 6),
+            (1, 2, 6),
+            (2, 1, 3),
+        ]
+        assert rows[0].first_doc == 0 and rows[0].last_doc == 1
+        assert rows[2].first_doc == 4
+
+    def test_groups_pack_independently(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d", "en"), (2, "a b c d", "de")],
+            "doc_id long, text string, lang string",
+        )
+        rows = shard_assignments(df, target_tokens=3).collect()
+        # each lang starts at offset 0 -> both docs in shard 0 of their lang
+        assert sorted((r.lang, r.shard) for r in rows) == [("de", 0), ("en", 0)]
+
+    def test_token_total_is_conserved(self, spark):
+        df = spark.createDataFrame(
+            [(i, "w " * (i + 1), "en") for i in range(8)],
+            "doc_id long, text string, lang string",
+        )
+        out = shard_assignments(df, target_tokens=5)
+        assert out.agg(F.sum("n_tokens")).first()[0] == sum(range(1, 9))
+
+
+class TestTemperatureMixture:
+    def test_alpha_one_keeps_natural_mixture(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "en"), (2, "d e", "de")],
+            "doc_id long, text string, lang string",
+        )
+        rows = temperature_mixture(df, alpha=1.0).collect()
+        for r in rows:
+            assert r.temp_share == r.share
+            assert r.boost == 1.0
+
+    def test_alpha_zero_is_uniform(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h", "en"), (2, "x y", "de")],
+            "doc_id long, text string, lang string",
+        )
+        rows = temperature_mixture(df, alpha=0.0).collect()
+        assert all(r.temp_share == 0.5 for r in rows)
+
+    def test_low_alpha_boosts_tail(self, spark):
+        df = spark.createDataFrame(
+            [(1, "w " * 90, "en"), (2, "w " * 10, "de")],
+            "doc_id long, text string, lang string",
+        )
+        by = {r.lang: r for r in temperature_mixture(df, alpha=0.3).collect()}
+        assert by["de"].boost > 1.0 > by["en"].boost
+        # shares still sum to 1 (within rounding)
+        assert abs(by["de"].temp_share + by["en"].temp_share - 1.0) < 1e-5
