@@ -818,3 +818,86 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cos") >= min_cos)
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 32,
+    base: int = 257,
+    mod: int = 2_147_483_647,
+) -> DataFrame:
+    """Content-defined chunking dedup estimate (the rsync/LBFS/FastCDC
+    family): a chunk boundary falls AFTER every position whose char
+    ``k``-gram Karp–Rabin hash ≡ 0 (mod ``divisor``) — boundaries are
+    decided by CONTENT, so an insertion early in a page shifts only the
+    chunk it lands in, and every repeated region re-aligns to identical
+    chunks (byte-shift-robust, where fixed-size blocks are not). Expected
+    chunk length ≈ ``divisor`` chars.
+
+    Returns ONE corpus-level storage ledger row:
+    (n_chunks, n_unique_chunks, total_chars, unique_chars, dedup_ratio)
+    — dedup_ratio = unique/total chars, the content-addressable-store
+    size a chunk-level dedup achieves on this corpus.
+
+    Scale shape: boundary detection + chunk slicing are whole-stage-
+    codegen array ops per row (no per-char row explosion — the k-gram
+    fold is the same 8-op JVM expression as rabin_fingerprints); the
+    only shuffle is the final distinct-chunk aggregate keyed on the
+    chunk md5.
+    """
+    txt = F.lower(F.col(text_col))
+    n = F.length(txt)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: txt.substr(i, F.lit(k)),
+    )
+
+    def _h(gram):
+        return F.aggregate(
+            F.filter(F.split(gram, ""), lambda c: c != ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * base + F.ascii(c)) % mod,
+        )
+
+    # cut positions: 0, every boundary gram's END offset, and len(text)
+    bounds = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: (_h(txt.substr(i, F.lit(k))) % divisor == 0)
+        & (i + (k - 1) <= n),
+    )
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(0)),
+                F.transform(bounds, lambda i: i + (k - 1)),
+                F.array(n),
+            )
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(cuts) - 1),
+        lambda j: txt.substr(
+            F.element_at(cuts, j) + 1,
+            F.element_at(cuts, j + 1) - F.element_at(cuts, j),
+        ),
+    )
+    rows = (
+        docs.filter(n > 0)
+        .select(F.col(id_col).alias("id"), F.explode(chunks).alias("chunk"))
+        .select(F.md5(F.col("chunk")).alias("ck"), F.length("chunk").alias("clen"))
+    )
+    per_chunk = rows.groupBy("ck").agg(
+        F.count("*").alias("occ"), F.min("clen").alias("clen")
+    )
+    return per_chunk.agg(
+        F.sum("occ").alias("n_chunks"),
+        F.count("*").alias("n_unique_chunks"),
+        F.sum(F.col("occ") * F.col("clen")).alias("total_chars"),
+        F.sum("clen").alias("unique_chars"),
+        F.round(
+            F.sum("clen") / F.sum(F.col("occ") * F.col("clen")), 6
+        ).alias("dedup_ratio"),
+    )

@@ -343,3 +343,46 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(e3, ["x", "z"])
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def tree_roots(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, root): resolve every node of a forest to its root — the
+    pointer-jumping closure over a PARENT tree (the directed cousin of
+    connected_components; same label(v) := label(label(v)) doubling,
+    Kiveris et al. SoCC'14). Roots are rows whose parent is NULL; a node
+    reaches its root in ceil(log2(depth)) rounds, each ONE self equi-join
+    shuffled on the label key, with localCheckpoint lineage truncation.
+
+    The crawl use: attribute every frontier URL to the SEED that
+    discovered it (reference keeps no such lineage; the frontier's
+    ``parent`` chain makes it a query).
+    """
+    cur = nodes.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("root"),
+    ).localCheckpoint(eager=True)
+    # a label is final iff it names a true root; converged when no label
+    # still points at an interior node (one anti-join count per round)
+    interior = (
+        nodes.filter(F.col(parent_col).isNotNull())
+        .select(F.col(id_col).alias("_iid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        if cur.join(interior, cur.root == interior._iid, "left_semi").isEmpty():
+            return cur
+        hop = cur.select(F.col("id").alias("_rid"), F.col("root").alias("_rroot"))
+        cur = (
+            cur.join(hop, cur.root == hop._rid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_rroot"), F.col("root")).alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur

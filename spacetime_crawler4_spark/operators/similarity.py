@@ -616,3 +616,75 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "cos", "rank")
     )
+
+
+def pca_power_top(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 4,
+) -> DataFrame:
+    """Top principal direction of the corpus second-moment matrix
+    X^T X via POWER ITERATION — the embedding-drift / whitening /
+    ABBA-debias primitive (uncentered: the dominant variance direction
+    including the mean; subtract grouped_elementwise_mean first for the
+    centered PC).
+
+    v_{t+1} = normalize(X^T (X v_t)), v_0 = e_0 (deterministic start, so
+    the sign is pinned — no eigenvector sign ambiguity across engines).
+    Returns (j, loading): the unit-norm component, one row per dimension.
+
+    Scale shape: the d×d Gram matrix is NEVER materialized — each
+    iteration is two linear passes: (1) per-row dot x·v with v inlined
+    as a broadcast literal (map-only, whole-stage codegen), (2) ONE
+    1-row aggregate of d partial sums x_j·(x·v). Driver traffic per
+    iteration = d doubles (the same bounded k×dim contract as
+    ivf_train). The final iteration runs fully relationally —
+    normalization included — so the emitted loadings are engine-side
+    arithmetic end to end.
+    """
+    def _dot_lit(v):
+        lits = F.array(*[F.lit(float(x)) for x in v])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), lits, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _matvec(v):
+        d = emb.select(_dot_lit(v).alias("d"), F.col(vec_col).alias("_x"))
+        return d.agg(
+            *[
+                F.sum(F.element_at(F.col("_x"), j + 1).cast("double") * F.col("d")).alias(f"u{j}")
+                for j in range(dim)
+            ]
+        )
+
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(iters - 1):
+        row = _matvec(v).first()
+        u = [row[f"u{j}"] for j in range(dim)]
+        nrm = sum(x * x for x in u) ** 0.5
+        v = [x / nrm for x in u]
+
+    # final iteration stays relational: unpivot the 1-row aggregate and
+    # normalize with a single-row cross join (both engines do this step
+    # in SQL arithmetic)
+    wide = _matvec(v)
+    long = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"u{j}").alias("u"))
+                    for j in range(dim)
+                ]
+            )
+        ).alias("s")
+    ).select("s.j", "s.u")
+    nrm = long.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("_nrm"))
+    return (
+        long.crossJoin(F.broadcast(nrm))
+        .select("j", F.round(F.col("u") / F.col("_nrm"), 6).alias("loading"))
+        .orderBy("j")
+    )

@@ -5955,6 +5955,135 @@ GROUP BY cohort_date, day_offset ORDER BY cohort_date, day_offset
 """
 
 
+# --- round-4 session-11 batch 2: seed attribution, CDC chunk dedup,
+# --- PCA power iteration
+
+
+def q_crawl_seed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed attribution over the committed engine-truth frontier: every
+    crawled URL resolved to the SEED that (transitively) discovered it —
+    the parent chain closed with the pointer-jumping tree_roots operator
+    (O(log depth) rounds, one keyed self-join each; the oracle walks the
+    identical forest with a recursive CTE). Per seed: frontier rows,
+    OK downloads, dedup casualties, deepest reach — which seed actually
+    paid for the crawl."""
+    from spacetime_crawler4_spark.operators.graph import tree_roots
+
+    fr = _crawl_state(spark)
+    roots = tree_roots(fr, id_col="urlhash", parent_col="parent")
+    seeds = fr.filter(F.col("parent").isNull()).select(
+        F.col("urlhash").alias("root"), F.col("url").alias("seed_url")
+    )
+    return (
+        fr.join(roots, fr.urlhash == roots.id)
+        .join(F.broadcast(seeds), "root")
+        .groupBy("seed_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum((F.col("finish") == 0).cast("long")).alias("n_ok"),
+            F.sum(F.col("finish").isin(4, 5).cast("long")).alias("n_dup"),
+            F.max("absdepth").alias("max_depth"),
+        )
+        .orderBy("seed_url")
+    )
+
+
+SQL_CRAWL_SEED_ATTRIBUTION = f"""
+WITH RECURSIVE fr AS (SELECT * FROM '{_CRAWL_STATE_PARQUET}'),
+walk AS (SELECT urlhash AS id, url AS seed_url FROM fr WHERE parent IS NULL
+         UNION ALL
+         SELECT f.urlhash, w.seed_url FROM fr f JOIN walk w ON f.parent = w.id)
+SELECT seed_url, count(*) AS n_urls,
+       CAST(sum(CASE WHEN finish = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN finish IN (4, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       max(absdepth) AS max_depth
+FROM fr JOIN walk ON walk.id = fr.urlhash
+GROUP BY seed_url ORDER BY seed_url
+"""
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking storage ledger (rsync/LBFS/FastCDC
+    family): Karp–Rabin-content-decided chunk boundaries, corpus-wide
+    distinct-chunk accounting — the dedup_ratio a content-addressable
+    store achieves. Byte-shift-robust where fixed blocks are not."""
+    from spacetime_crawler4_spark.operators.dedup import cdc_chunk_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs, k=8, divisor=32)
+
+
+SQL_DEDUP_CDC_CHUNKS = """
+WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
+           WHERE length(text) > 0),
+bounds AS (SELECT doc_id, txt,
+       list_sort(list_distinct(
+         [0] || [i + 7 FOR i IN range(1, greatest(length(txt) - 7, 1) + 1)
+                 IF i + 7 <= length(txt)
+                 AND list_reduce([CAST(ascii(c) AS BIGINT)
+                                  FOR c IN string_split(substr(txt, i, 8), '')
+                                  IF c <> ''],
+                                 (a, b) -> (a * 257 + b) % 2147483647)
+                     % 32 = 0]
+             || [length(txt)])) AS cuts
+       FROM t),
+chunks AS (SELECT doc_id,
+                  unnest([substr(txt, cuts[j] + 1, cuts[j+1] - cuts[j])
+                          FOR j IN range(1, len(cuts))]) AS chunk
+           FROM bounds),
+per AS (SELECT md5(chunk) AS ck, count(*) AS occ,
+               min(length(chunk)) AS clen
+        FROM chunks GROUP BY ck)
+SELECT CAST(sum(occ) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_unique_chunks,
+       CAST(sum(occ * clen) AS BIGINT) AS total_chars,
+       CAST(sum(clen) AS BIGINT) AS unique_chars,
+       round(sum(clen) * 1.0 / sum(occ * clen), 6) AS dedup_ratio
+FROM per
+"""
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 4
+
+
+def q_embed_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via power
+    iteration (X^T X v, never the d×d Gram matrix) — the drift /
+    whitening primitive. Oracle unrolls the identical 4-iteration
+    recurrence as chained matvec CTEs."""
+    from spacetime_crawler4_spark.operators.similarity import pca_power_top
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_power_top(emb, dim=_PCA_DIM, iters=_PCA_ITERS)
+
+
+def _sql_embed_pca_top() -> str:
+    head = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+xs AS (SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS j,
+              unnest(v) AS x
+       FROM e),
+v0 AS (SELECT CAST(j AS INTEGER) AS j,
+              CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS val
+       FROM range({_PCA_DIM}) t(j))"""
+    steps = []
+    for t in range(1, _PCA_ITERS + 1):
+        steps.append(f"""
+d{t} AS (SELECT vec_id, sum(x * val) AS d
+         FROM xs JOIN v{t-1} USING (j) GROUP BY vec_id)""")
+        steps.append(f"""
+u{t} AS (SELECT j, sum(x * d) AS u FROM xs JOIN d{t} USING (vec_id) GROUP BY j)""")
+        if t < _PCA_ITERS:
+            steps.append(f"""
+v{t} AS (SELECT j, u / sqrt(sum(u * u) OVER ()) AS val FROM u{t})""")
+    tail = f"""
+SELECT j, round(u / sqrt(sum(u * u) OVER ()), 6) AS loading
+FROM u{_PCA_ITERS} ORDER BY j
+"""
+    return head + "," + ",".join(steps) + tail
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -6016,6 +6145,12 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             SQL_SAMPLE_TEMPERATURE,
         ),
         "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+        "crawl_seed_attribution": (
+            q_crawl_seed_attribution,
+            SQL_CRAWL_SEED_ATTRIBUTION,
+        ),
+        "dedup_cdc_chunks": (q_dedup_cdc_chunks, SQL_DEDUP_CDC_CHUNKS),
+        "embed_pca_top": (q_embed_pca_top, _sql_embed_pca_top()),
     }
 
 

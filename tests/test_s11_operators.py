@@ -8,6 +8,7 @@ is swept automatically)."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from spacetime_crawler4_spark.operators.chunking import shard_assignments
@@ -148,3 +149,83 @@ class TestTemperatureMixture:
         assert by["de"].boost > 1.0 > by["en"].boost
         # shares still sum to 1 (within rounding)
         assert abs(by["de"].temp_share + by["en"].temp_share - 1.0) < 1e-5
+
+
+class TestTreeRoots:
+    def test_forest_resolves_to_roots(self, spark):
+        from spacetime_crawler4_spark.operators.graph import tree_roots
+
+        # two trees: a->b->c->d chain and lone root x with child y
+        rows = [
+            ("a", None), ("b", "a"), ("c", "b"), ("d", "c"),
+            ("x", None), ("y", "x"),
+        ]
+        df = spark.createDataFrame(rows, "id string, parent string")
+        got = {r.id: r.root for r in tree_roots(df).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                       "x": "x", "y": "x"}
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        from spacetime_crawler4_spark.operators.graph import tree_roots
+
+        n = 33  # depth 32 -> needs 6 doublings; max_rounds=8 must suffice
+        rows = [("n0", None)] + [(f"n{i}", f"n{i-1}") for i in range(1, n)]
+        df = spark.createDataFrame(rows, "id string, parent string")
+        got = tree_roots(df, max_rounds=8).collect()
+        assert all(r.root == "n0" for r in got) and len(got) == n
+
+
+class TestCdcChunks:
+    def test_conservation_and_duplicate_detection(self, spark):
+        from spacetime_crawler4_spark.operators.dedup import cdc_chunk_stats
+
+        text = "the quick brown fox jumps over the lazy dog " * 20
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "entirely different content here")],
+            "doc_id long, text string",
+        )
+        row = cdc_chunk_stats(df).first()
+        # chars are conserved: every char lands in exactly one chunk
+        assert row.total_chars == sum(len(t.lower()) for _, t in
+                                      [(1, text), (2, text),
+                                       (3, "entirely different content here")])
+        # the two identical docs chunk identically -> heavy dedup
+        assert row.n_unique_chunks < row.n_chunks
+        assert 0 < row.dedup_ratio < 1
+
+    def test_shift_robustness(self, spark):
+        from spacetime_crawler4_spark.operators.dedup import cdc_chunk_stats
+
+        body = "shared repeated content block that is long enough " * 10
+        df = spark.createDataFrame(
+            [(1, body), (2, "PREFIX-INSERTED " + body)],
+            "doc_id long, text string",
+        )
+        row = cdc_chunk_stats(df).first()
+        # content-defined cuts re-align after the insertion: unique chars
+        # grow by far less than a full second copy
+        assert row.unique_chars < len(body) * 1.5
+
+
+class TestPcaPowerTop:
+    def test_recovers_dominant_axis(self, spark):
+        from spacetime_crawler4_spark.operators.similarity import pca_power_top
+
+        # variance concentrated on axis 2 of 4 dims
+        rows = [(i, [0.01 * (i % 3), 0.02, float(10 + (i % 7)), 0.03])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = pca_power_top(df, dim=4, iters=4).collect()
+        loadings = [r.loading for r in sorted(got, key=lambda r: r.j)]
+        assert abs(loadings[2]) > 0.99
+        assert sum(x * x for x in loadings) == pytest.approx(1.0, abs=1e-4)
+
+    def test_unit_norm_and_row_per_dim(self, spark):
+        from spacetime_crawler4_spark.operators.similarity import pca_power_top
+
+        rows = [(i, [float(i % 5), float((i * 3) % 7), 1.0])
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = pca_power_top(df, dim=3, iters=3).collect()
+        assert len(got) == 3
+        assert sum(r.loading ** 2 for r in got) == pytest.approx(1.0, abs=1e-4)
