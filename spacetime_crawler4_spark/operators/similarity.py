@@ -688,3 +688,58 @@ def pca_power_top(
         .select("j", F.round(F.col("u") / F.col("_nrm"), 6).alias("loading"))
         .orderBy("j")
     )
+
+
+def hashed_doc_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 16,
+) -> DataFrame:
+    """Feature-hashed document vectors (the hashing trick, Weinberger et
+    al. ICML'09): every token maps to bucket ``md5('fh:'||token) %
+    buckets`` with a ±1 sign drawn from the next md5 nibble, the signed
+    counts accumulate per (doc, bucket), and the vector is L2-normalized
+    — a fixed-width, vocabulary-free text embedding computed entirely
+    JVM-side (no model, no training, engine-portable md5 family shared
+    with the sampling/sketch planes).
+
+    Long-form output (doc_id, bucket, w) — the sparse row-major layout
+    the similarity planes join on; zero-sum buckets keep their row (w=0)
+    so every doc emits exactly its non-empty bucket set deterministically.
+
+    Scale shape: tokenize+hash are map-only; ONE groupBy on (doc,
+    bucket) with map-side combine; the norm joins back keyed on doc.
+    """
+    from spacetime_crawler4_spark.operators.dedup import sql_tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(sql_tokens(F.col(text_col))).alias("term"),
+    )
+    h = F.md5(F.concat(F.lit("fh:"), F.col("term")))
+    bucket = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % buckets).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 7, 1), 16, 10).cast("long") % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    per = (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("v"))
+    )
+    nrm = per.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    return (
+        per.join(nrm, "doc_id")
+        .select(
+            "doc_id",
+            "bucket",
+            F.round(
+                F.when(F.col("nrm") > 0, F.col("v") / F.col("nrm")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("w"),
+        )
+    )

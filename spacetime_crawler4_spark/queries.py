@@ -6084,6 +6084,134 @@ FROM u{_PCA_ITERS} ORDER BY j
     return head + "," + ",".join(steps) + tail
 
 
+_FH_BUCKETS = 16
+
+
+def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors (hashing trick, Weinberger et al.
+    ICML'09): vocabulary-free 16-dim signed-count text embeddings from
+    the md5-portable hash family, L2-normalized, long-form rows."""
+    from spacetime_crawler4_spark.operators.similarity import hashed_doc_vectors
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_doc_vectors(docs, buckets=_FH_BUCKETS).orderBy(
+        "doc_id", "bucket"
+    )
+
+
+SQL_TEXT_HASH_EMBEDDING = f"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+hashed AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5('fh:' || term), 1, 6) AS BIGINT)
+                       % {_FH_BUCKETS} AS INTEGER) AS bucket,
+                  CASE WHEN CAST('0x' || substr(md5('fh:' || term), 7, 1) AS BIGINT)
+                            % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM tok),
+per AS (SELECT doc_id, bucket, sum(s) AS v FROM hashed GROUP BY doc_id, bucket),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM per GROUP BY doc_id)
+SELECT per.doc_id, bucket,
+       round(CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END, 6) AS w
+FROM per JOIN nrm ON per.doc_id = nrm.doc_id
+ORDER BY per.doc_id, bucket
+"""
+
+
+_MAD_K = 3.0
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly audit: median absolute deviation over
+    per-day event counts, a day flagged when |count - median| > 3·MAD —
+    the outlier rule that, unlike z-scores, one bad day cannot poison.
+    Exact medians (percentile == quantile_cont); two 1-row scalar
+    broadcasts, no division (flag compares against 3·MAD directly)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n_events")
+    )
+    med = daily.agg(F.percentile("n_events", F.lit(0.5)).alias("_med"))
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col("n_events") - F.col("_med"))
+    )
+    mad = dev.agg(F.percentile("abs_dev", F.lit(0.5)).alias("_mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "d",
+            "n_events",
+            F.round("abs_dev", 4).alias("abs_dev"),
+            (F.col("abs_dev") > F.lit(_MAD_K) * F.col("_mad")).alias("is_anomaly"),
+        )
+        .orderBy("d")
+    )
+
+
+SQL_EVENTS_ANOMALY_MAD = f"""
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+               FROM events GROUP BY CAST(ts AS DATE)),
+med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+dev AS (SELECT d, n_events, abs(n_events - med) AS abs_dev
+        FROM daily CROSS JOIN med),
+mad AS (SELECT quantile_cont(abs_dev, 0.5) AS mad FROM dev)
+SELECT d, n_events, round(abs_dev, 4) AS abs_dev,
+       abs_dev > {_MAD_K} * mad AS is_anomaly
+FROM dev CROSS JOIN mad ORDER BY d
+"""
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (recency / frequency / monetary with
+    quartile scores): recency = days from last activity to the corpus
+    horizon, quartiles via ntile(4) with deterministic user_id
+    tie-breaks — identical window semantics on both engines. The
+    product-analytics twin of the ppx-partition ntile pattern."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    horizon = ev.agg(F.max("d").alias("_hz"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("d").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff(F.col("_hz"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return (
+        per.withColumn("r_q", F.ntile(4).over(r_w))
+        .withColumn("f_q", F.ntile(4).over(f_w))
+        .withColumn("m_q", F.ntile(4).over(m_w))
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_RFM = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+hz AS (SELECT max(d) AS hz FROM ev),
+per AS (SELECT user_id,
+               date_diff('day', max(d), hz) AS recency_days,
+               count(*) AS frequency,
+               round(sum(value), 2) AS monetary
+        FROM ev CROSS JOIN hz GROUP BY user_id, hz)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS INTEGER) AS r_q,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER) AS f_q,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS INTEGER) AS m_q
+FROM per ORDER BY user_id
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -6151,6 +6279,9 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         ),
         "dedup_cdc_chunks": (q_dedup_cdc_chunks, SQL_DEDUP_CDC_CHUNKS),
         "embed_pca_top": (q_embed_pca_top, _sql_embed_pca_top()),
+        "text_hash_embedding": (q_text_hash_embedding, SQL_TEXT_HASH_EMBEDDING),
+        "events_anomaly_mad": (q_events_anomaly_mad, SQL_EVENTS_ANOMALY_MAD),
+        "events_rfm": (q_events_rfm, SQL_EVENTS_RFM),
     }
 
 

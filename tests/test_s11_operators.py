@@ -229,3 +229,37 @@ class TestPcaPowerTop:
         got = pca_power_top(df, dim=3, iters=3).collect()
         assert len(got) == 3
         assert sum(r.loading ** 2 for r in got) == pytest.approx(1.0, abs=1e-4)
+
+
+class TestHashedDocVectors:
+    def test_unit_norm_and_determinism(self, spark):
+        from spacetime_crawler4_spark.operators.similarity import (
+            hashed_doc_vectors,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha"), (2, "delta epsilon")],
+            "doc_id long, text string",
+        )
+        rows = hashed_doc_vectors(df, buckets=8).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.w)
+        for ws in by_doc.values():
+            assert sum(w * w for w in ws) == pytest.approx(1.0, abs=1e-4)
+        # identical text -> identical vector (hash family is deterministic)
+        again = hashed_doc_vectors(df, buckets=8).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_repeated_token_doubles_weight(self, spark):
+        from spacetime_crawler4_spark.operators.similarity import (
+            hashed_doc_vectors,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "word"), (2, "word word")], "doc_id long, text string"
+        )
+        rows = hashed_doc_vectors(df, buckets=8).collect()
+        # both docs have one non-zero bucket, both normalize to ±1
+        assert sorted(abs(r.w) for r in rows) == [1.0, 1.0]
+        assert rows[0].bucket == rows[1].bucket
