@@ -553,3 +553,96 @@ def zipf_fit(
         F.round((s["sy"] - (num / den_x) * s["sx"]) / s["n"], 6).alias("intercept"),
         F.round((num * num) / (den_x * den_y), 6).alias("r2"),
     )
+
+
+KN_DISCOUNT = 0.75
+KN_CONT_SMOOTH = 0.5
+
+
+def kneser_ney_bits_per_token(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.24, fixed discount d=0.75) — the LM-quality
+    yardstick a Stupid-Backoff scorer (bigram_bits_per_token) trades
+    away. The lower-order distribution is the CONTINUATION probability
+    P_cont(w) ∝ N1+(·,w) (how many distinct contexts w completes), not
+    the raw unigram — the "San Francisco" correction: 'francisco' is
+    frequent but follows only 'san', so it gets almost no unseen-context
+    mass.
+
+        P(w|v) = max(c(v,w) − d, 0)/c(v·) + d·N1+(v,·)/c(v·) · P_cont(w)
+        P(w|v unseen context) = P_cont(w)
+
+    P_cont is add-k smoothed over bigram TYPES (k=0.5, +1 OOV slot) so
+    held-out tokens keep finite bits. Returns per document
+    (id, n_scored, bits_per_token, cont_rate) — cont_rate is the share
+    of positions scored purely from the continuation term (unseen
+    bigram), the KN analogue of backoff_rate.
+
+    Scale shape: identical to bigram_bits_per_token — one lag window,
+    model tables are aggregates of the bigram count frame (N1+ columns
+    are COUNTs of the same rows, no extra corpus pass), three hash
+    joins + one 1-row broadcast.
+    """
+    from pyspark.sql.window import Window as _W
+
+    d = KN_DISCOUNT
+    k = KN_CONT_SMOOTH
+
+    def _toks(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(sql_tokens(F.col(text_col))).alias("p0", "token"),
+        ).select("id", (F.col("p0") + 1).alias("tpos"), "token")
+
+    w = _W.partitionBy("id").orderBy("tpos")
+    toks = _toks(docs)
+    pairs = toks.withColumn("prev", F.lag("token").over(w))
+    train_toks = toks if train_docs is None else _toks(train_docs)
+    train_pairs = (
+        pairs
+        if train_docs is None
+        else train_toks.withColumn("prev", F.lag("token").over(w))
+    )
+    big = (
+        train_pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("c2"))
+    )
+    ctx = big.groupBy("prev").agg(
+        F.sum("c2").alias("cctx"), F.count("*").alias("n1p_prev")
+    )
+    cont = big.groupBy("token").agg(F.count("*").alias("n1p_right"))
+    vocab = train_toks.select("token").distinct().agg(F.count("*").alias("vocab"))
+    tot = big.agg(F.count("*").alias("n_btypes")).crossJoin(F.broadcast(vocab))
+    pcont = (F.coalesce(F.col("n1p_right"), F.lit(0)) + F.lit(k)) / (
+        F.col("n_btypes") + F.lit(k) * (F.col("vocab") + 1)
+    )
+    seen_ctx = F.col("cctx").isNotNull()
+    p_seen = (
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - F.lit(d), F.lit(0.0))
+        / F.col("cctx")
+        + F.lit(d) * F.col("n1p_prev") / F.col("cctx") * pcont
+    )
+    p = F.when(seen_ctx, p_seen).otherwise(pcont)
+    scored = (
+        pairs.filter(F.col("prev").isNotNull())
+        .join(big, ["prev", "token"], "left")
+        .join(ctx, "prev", "left")
+        .join(cont, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            (-F.log2(p)).alias("bits"),
+            F.col("c2").isNull().cast("double").alias("cont_only"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.avg("bits"), 4).alias("bits_per_token"),
+        F.round(F.avg("cont_only"), 6).alias("cont_rate"),
+    )

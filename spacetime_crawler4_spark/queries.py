@@ -6212,6 +6212,221 @@ FROM per ORDER BY user_id
 """
 
 
+def q_text_kn_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (fixed d=0.75, continuation-
+    probability lower order) on the same train split as the Stupid-Backoff
+    twin — the LM-quality yardstick pair. operators/textstats.py."""
+    from spacetime_crawler4_spark.operators.textstats import (
+        kneser_ney_bits_per_token,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(~(F.col("doc_id") % 10 == 7))
+    return (
+        kneser_ney_bits_per_token(docs, train)
+        .select(F.col("id").alias("doc_id"), "n_scored", "bits_per_token", "cont_rate")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_KN_PPX = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+tok AS (SELECT doc_id AS id, unnest(ts) AS token,
+               generate_subscripts(ts, 1) AS tpos
+        FROM toks),
+pr AS (SELECT id, tpos, token,
+              lag(token) OVER (PARTITION BY id ORDER BY tpos) AS prev
+       FROM tok),
+trtok AS (SELECT * FROM tok WHERE NOT (id % 10 = 7)),
+trpr AS (SELECT id, tpos, token,
+                lag(token) OVER (PARTITION BY id ORDER BY tpos) AS prev
+         FROM trtok),
+big AS (SELECT prev, token, count(*) AS c2 FROM trpr
+        WHERE prev IS NOT NULL GROUP BY prev, token),
+ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS cctx, count(*) AS n1p_prev
+        FROM big GROUP BY prev),
+cont AS (SELECT token, count(*) AS n1p_right FROM big GROUP BY token),
+tot AS (SELECT (SELECT count(*) FROM big) AS n_btypes,
+               (SELECT count(DISTINCT token) FROM trtok) AS vocab),
+sc AS (SELECT pr.id,
+              -log2(CASE WHEN ctx.cctx IS NOT NULL
+                         THEN greatest(coalesce(big.c2, 0) - 0.75, 0.0) / ctx.cctx
+                              + 0.75 * ctx.n1p_prev / ctx.cctx
+                                * ((coalesce(cont.n1p_right, 0) + 0.5)
+                                   / (tot.n_btypes + 0.5 * (tot.vocab + 1)))
+                         ELSE (coalesce(cont.n1p_right, 0) + 0.5)
+                              / (tot.n_btypes + 0.5 * (tot.vocab + 1)) END) AS bits,
+              CASE WHEN big.c2 IS NULL THEN 1.0 ELSE 0.0 END AS cont_only
+       FROM pr
+       LEFT JOIN big ON big.prev = pr.prev AND big.token = pr.token
+       LEFT JOIN ctx ON ctx.prev = pr.prev
+       LEFT JOIN cont ON cont.token = pr.token
+       CROSS JOIN tot
+       WHERE pr.prev IS NOT NULL)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       round(avg(bits), 4) AS bits_per_token,
+       round(avg(cont_only), 6) AS cont_rate
+FROM sc GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov over the
+    (ts, event_id)-ordered stream): P(next | current) with exact counts —
+    the user-journey structure funnels flatten away. One lag window on
+    the user partitioning + one pair aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("_t"))
+    return (
+        pairs.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+SQL_EVENTS_MARKOV = """
+WITH seq AS (SELECT user_id, event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_type
+             FROM events),
+pairs AS (SELECT prev_type, event_type, count(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type),
+tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS t
+        FROM pairs GROUP BY prev_type)
+SELECT pairs.prev_type, event_type, n, round(n * 1.0 / t, 6) AS p
+FROM pairs JOIN tot ON pairs.prev_type = tot.prev_type
+ORDER BY pairs.prev_type, event_type
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade level per document — the classic readability
+    quality signal (words/sentence and vowel-run syllables/word, both
+    RE2-portable regex counts; grade = 0.39·w/s + 11.8·syl/w − 15.59).
+    Map-only; every count an integer before the one float formula."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = sql_tokens(F.col("text"))
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(
+            F.size(F.filter(F.split(t, "[^aeiouy]+"), lambda x: x != "")),
+            F.lit(1),
+        ),
+    )
+    sents = F.greatest(
+        F.size(
+            F.filter(F.split(F.col("text"), "[.!?]+"), lambda s: F.trim(s) != "")
+        ),
+        F.lit(1),
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    grade = (
+        0.39 * F.col("n_words") / F.col("n_sentences")
+        + 11.8 * F.col("n_syllables") / F.col("n_words")
+        - 15.59
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(grade, 4).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_READABILITY = f"""
+WITH base AS (SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_words,
+       CAST(greatest(len([s FOR s IN regexp_split_to_array(text, '[.!?]+')
+                          IF trim(s) <> '']), 1) AS INTEGER) AS n_sentences,
+       CAST(list_sum([greatest(len([v FOR v IN regexp_split_to_array(t, '[^aeiouy]+')
+                                    IF v <> '']), 1)
+                      FOR t IN {_DUCK_TOKS}]) AS BIGINT) AS n_syllables
+FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(0.39 * n_words / n_sentences
+             + 11.8 * n_syllables / n_words - 15.59, 4) AS fk_grade
+FROM base WHERE n_words > 0 ORDER BY doc_id
+"""
+
+
+def q_tpch_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/ABC) by customer decile: customers
+    ranked by revenue into ntile(10) buckets, per-decile revenue and the
+    cumulative share — the 80/20 audit. Deciles over the REDUCED
+    per-customer aggregate (window input = customers, never line items)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r")
+        )
+    )
+    dec = rev.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("_r"), F.asc("o_custkey")))
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("_r").alias("_dr"),
+    )
+    tot = per.agg(F.sum("_dr").alias("_t"))
+    cum = F.sum("_dr").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round("_dr", 2).alias("decile_revenue"),
+            F.round(cum / F.col("_t"), 6).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_TPCH_REVENUE_PARETO = """
+WITH rev AS (SELECT o_custkey,
+                    sum(l_extendedprice * (1 - l_discount)) AS r
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY o_custkey),
+dec AS (SELECT o_custkey, r,
+               ntile(10) OVER (ORDER BY r DESC, o_custkey ASC) AS decile
+        FROM rev),
+per AS (SELECT decile, count(*) AS n_customers, sum(r) AS dr
+        FROM dec GROUP BY decile),
+tot AS (SELECT sum(dr) AS t FROM per)
+SELECT CAST(decile AS INTEGER) AS decile, n_customers,
+       round(dr, 2) AS decile_revenue,
+       round(sum(dr) OVER (ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING) / t, 6) AS cum_share
+FROM per CROSS JOIN tot ORDER BY decile
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -6282,6 +6497,10 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_hash_embedding": (q_text_hash_embedding, SQL_TEXT_HASH_EMBEDDING),
         "events_anomaly_mad": (q_events_anomaly_mad, SQL_EVENTS_ANOMALY_MAD),
         "events_rfm": (q_events_rfm, SQL_EVENTS_RFM),
+        "text_kn_ppx": (q_text_kn_ppx, SQL_TEXT_KN_PPX),
+        "events_markov": (q_events_markov, SQL_EVENTS_MARKOV),
+        "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
+        "tpch_revenue_pareto": (q_tpch_revenue_pareto, SQL_TPCH_REVENUE_PARETO),
     }
 
 

@@ -263,3 +263,72 @@ class TestHashedDocVectors:
         # both docs have one non-zero bucket, both normalize to ±1
         assert sorted(abs(r.w) for r in rows) == [1.0, 1.0]
         assert rows[0].bucket == rows[1].bucket
+
+
+class TestKneserNey:
+    def test_hand_computed_bigram_kn(self, spark):
+        from spacetime_crawler4_spark.operators.textstats import (
+            kneser_ney_bits_per_token,
+        )
+
+        # train == score: "a b a b a c"
+        # big: (a,b)=2 (b,a)=2 (a,c)=1; ctx a: c=3,N1+=2; b: c=2,N1+=1
+        # pcont(w) = (N1+(.,w)+0.5)/(3 + 0.5*(3+1)) = (1+0.5)/5 = 0.3 each
+        df = spark.createDataFrame([(1, "a b a b a c")], "doc_id long, text string")
+        row = kneser_ney_bits_per_token(df).first()
+        p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * 0.3
+        p_ba = (2 - 0.75) / 2 + 0.75 * 1 / 2 * 0.3
+        p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * 0.3
+        bits = [-math.log2(p) for p in (p_ab, p_ba, p_ab, p_ba, p_ac)]
+        assert row.n_scored == 5
+        assert row.bits_per_token == pytest.approx(
+            round(sum(bits) / 5, 4), abs=2e-4
+        )
+        assert row.cont_rate == 0.0
+
+    def test_unseen_context_scores_from_continuation(self, spark):
+        from spacetime_crawler4_spark.operators.textstats import (
+            kneser_ney_bits_per_token,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "a b a b a c")], "doc_id long, text string"
+        )
+        held = spark.createDataFrame([(2, "c a")], "doc_id long, text string")
+        row = kneser_ney_bits_per_token(held, train).first()
+        # 'c' is never a context in train -> pure continuation estimate
+        assert row.n_scored == 1
+        assert row.cont_rate == 1.0
+        assert row.bits_per_token == pytest.approx(
+            round(-math.log2(0.3), 4), abs=2e-4
+        )
+
+
+class TestMarkovAndPareto:
+    def test_transition_rows_sum_to_one(self, spark):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from spacetime_crawler4_spark.queries import pending_registry
+
+        fn, _ = pending_registry()["events_markov"]
+        rows = fn(spark, "/root/testdata/sf0.001").collect()
+        by_prev = {}
+        for r in rows:
+            by_prev.setdefault(r.prev_type, 0.0)
+            by_prev[r.prev_type] += r.p
+        for total in by_prev.values():
+            assert total == pytest.approx(1.0, abs=1e-4)
+
+    def test_pareto_cumshare_monotone_to_one(self, spark):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from spacetime_crawler4_spark.queries import pending_registry
+
+        fn, _ = pending_registry()["tpch_revenue_pareto"]
+        rows = fn(spark, "/root/testdata/sf0.001").orderBy("decile").collect()
+        shares = [r.cum_share for r in rows]
+        assert shares == sorted(shares)
+        assert shares[-1] == pytest.approx(1.0, abs=1e-5)
+        # top decile concentrates the most revenue
+        revs = [r.decile_revenue for r in rows]
+        assert revs[0] == max(revs)
