@@ -612,6 +612,11 @@ def kneser_ney_bits_per_token(
         train_pairs.filter(F.col("prev").isNotNull())
         .groupBy("prev", "token")
         .agg(F.count("*").alias("c2"))
+        # four consumers (ctx, cont, the type total, and the probe join)
+        # — materialize the bigram count table once instead of replaying
+        # the explode+lag+aggregate subtree for each (at corpus scale
+        # this is the persisted LM count table)
+        .localCheckpoint(eager=True)
     )
     ctx = big.groupBy("prev").agg(
         F.sum("c2").alias("cctx"), F.count("*").alias("n1p_prev")
