@@ -34,6 +34,7 @@ from spacetime_crawler4_spark.operators.dedup import (
     exact_dup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_signatures,
     simhash_docs,
     simhash_near_pairs,
     sql_tokens,
@@ -6427,6 +6428,186 @@ FROM per CROSS JOIN tot ORDER BY decile
 """
 
 
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the engagement-
+    inequality scalar (0 = uniform, →1 = a few power users do
+    everything). Exact rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    counts sorted asc (user_id tie-break); the window input is the
+    REDUCED per-user table, never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    ranked = per.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.asc("x"), F.asc("user_id")))
+    )
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_EVENTS_GINI = """
+WITH per AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i
+           FROM per)
+SELECT count(*) AS n_users, CAST(sum(x) AS BIGINT) AS n_events,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
+def q_tpch_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders per customer INCLUDING
+    zero-order customers (the left join a naive groupBy silently drops),
+    then a histogram over that count — two aggregates on different keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_ORDERS_PER_CUSTOMER = """
+WITH per AS (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-error audit: for every banded-LSH verified pair,
+    the signature-agreement Jaccard estimate (matching minhash values /
+    k) next to the exact Jaccard — the committed evidence for how much
+    the k=8 signature itself (not the banding) blurs similarity.
+    Signature join is k rows per doc; exact side reuses the verified
+    pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5).select(
+        "id_a", "id_b", "jaccard"
+    )
+    sig = minhash_signatures(sh, k=8)
+    sa = sig.select(F.col("id").alias("id_a"), "band", F.col("sig").alias("sig_a"))
+    sb = sig.select(
+        F.col("id").alias("_idb"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("band") == F.col("band_b")))
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(
+            F.round(
+                F.sum((F.col("sig_a") == F.col("sig_b")).cast("double")) / 8.0, 6
+            ).alias("jaccard_est")
+        )
+    )
+    return est.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "jaccard_est",
+        F.round(F.col("jaccard_est") - F.col("jaccard"), 6).alias("est_error"),
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_dedup_minhash_estimate() -> str:
+    pair_ctes = _SQL_MINHASH_PAIR_CTES.split(",\nsym AS")[0]
+    return f"""
+WITH {pair_ctes},
+vpairs AS (SELECT id_a, id_b,
+                  round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+           FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+           WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5),
+est AS (SELECT v.id_a, v.id_b, v.jaccard,
+               round(sum(CASE WHEN a.sig = b.sig THEN 1.0 ELSE 0.0 END) / 8.0,
+                     6) AS jaccard_est
+        FROM vpairs v
+        JOIN sig a ON a.id = v.id_a
+        JOIN sig b ON b.id = v.id_b AND b.band = a.band
+        GROUP BY v.id_a, v.id_b, v.jaccard)
+SELECT id_a, id_b, jaccard, jaccard_est,
+       round(jaccard_est - jaccard, 6) AS est_error
+FROM est ORDER BY id_a, id_b
+"""
+
+
+_JSD_SMOOTH = 0.5
+
+
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence from the corpus unigram
+    distribution — the domain-shift / mixture diagnostic (symmetric,
+    bounded [0, 1] in bits, defined even where KL explodes). Add-k
+    smoothed over the corpus vocabulary so every term has mass in both
+    distributions; one token aggregate per side + one vocab-sized join."""
+    docs = _t(spark, sf_dir, "documents")
+    k = _JSD_SMOOTH
+    tok = docs.select(
+        "source", F.explode(sql_tokens(F.col("text"))).alias("term")
+    )
+    per = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    vocab = tok.select("term").distinct()
+    glob = tok.groupBy("term").agg(F.count("*").alias("g"))
+    gtot = glob.agg(F.sum("g").alias("_gt"), F.count("*").alias("_v"))
+    stot = per.groupBy("source").agg(F.sum("c").alias("_st"))
+    full = (
+        vocab.crossJoin(stot.select("source", "_st"))
+        .join(per, ["source", "term"], "left")
+        .join(glob, "term")
+        .crossJoin(F.broadcast(gtot))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + k) / (F.col("_st") + k * F.col("_v"))
+    q = (F.col("g") + k) / (F.col("_gt") + k * F.col("_v"))
+    m = (p + q) / 2
+    contrib = 0.5 * p * F.log2(p / m) + 0.5 * q * F.log2(q / m)
+    return (
+        full.select("source", contrib.alias("j"))
+        .groupBy("source")
+        .agg(F.round(F.sum("j"), 6).alias("jsd_bits"))
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_JS_DIVERGENCE = f"""
+WITH tok AS (SELECT source, unnest({_DUCK_TOKS}) AS term FROM documents),
+per AS (SELECT source, term, count(*) AS c FROM tok GROUP BY source, term),
+vocab AS (SELECT DISTINCT term FROM tok),
+gw AS (SELECT term, count(*) AS g FROM tok GROUP BY term),
+gtot AS (SELECT CAST(sum(g) AS BIGINT) AS gt, count(*) AS v FROM gw),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM per GROUP BY source),
+allv AS (SELECT stot.source, vocab.term, stot.st, coalesce(per.c, 0) AS c,
+                gw.g, gtot.gt, gtot.v
+         FROM vocab CROSS JOIN stot
+         LEFT JOIN per ON per.source = stot.source AND per.term = vocab.term
+         JOIN gw ON gw.term = vocab.term
+         CROSS JOIN gtot),
+contrib AS (SELECT source,
+       (c + {_JSD_SMOOTH}) / (st + {_JSD_SMOOTH} * v) AS p,
+       (g + {_JSD_SMOOTH}) / (gt + {_JSD_SMOOTH} * v) AS q
+       FROM allv)
+SELECT source,
+       round(sum(0.5 * p * log2(p / ((p + q) / 2))
+                 + 0.5 * q * log2(q / ((p + q) / 2))), 6) AS jsd_bits
+FROM contrib GROUP BY source ORDER BY source
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -6501,6 +6682,16 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "events_markov": (q_events_markov, SQL_EVENTS_MARKOV),
         "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
         "tpch_revenue_pareto": (q_tpch_revenue_pareto, SQL_TPCH_REVENUE_PARETO),
+        "events_gini": (q_events_gini, SQL_EVENTS_GINI),
+        "tpch_orders_per_customer": (
+            q_tpch_orders_per_customer,
+            SQL_TPCH_ORDERS_PER_CUSTOMER,
+        ),
+        "dedup_minhash_estimate": (
+            q_dedup_minhash_estimate,
+            _sql_dedup_minhash_estimate(),
+        ),
+        "text_js_divergence": (q_text_js_divergence, SQL_TEXT_JS_DIVERGENCE),
     }
 
 
