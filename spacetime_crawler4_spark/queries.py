@@ -6347,12 +6347,16 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 11.8 * F.col("n_syllables") / F.col("n_words")
         - 15.59
     )
+    # explicit half-up on the DOUBLE (floor(x*1e4+0.5)/1e4) instead of
+    # F.round: the FK formula can land exactly on a .00005 tie, where
+    # Spark's decimal-string HALF_UP and DuckDB's double round() disagree
+    # by one ulp — floor on the same double is bit-identical in both
     return out.select(
         "doc_id",
         "n_words",
         "n_sentences",
         "n_syllables",
-        F.round(grade, 4).alias("fk_grade"),
+        (F.floor(grade * 10000 + F.lit(0.5)) / 10000).alias("fk_grade"),
     ).orderBy("doc_id")
 
 
@@ -6366,8 +6370,10 @@ WITH base AS (SELECT doc_id,
                       FOR t IN {_DUCK_TOKS}]) AS BIGINT) AS n_syllables
 FROM documents)
 SELECT doc_id, n_words, n_sentences, n_syllables,
-       round(0.39 * n_words / n_sentences
-             + 11.8 * n_syllables / n_words - 15.59, 4) AS fk_grade
+       floor((CAST(0.39 AS DOUBLE) * n_words / n_sentences
+              + CAST(11.8 AS DOUBLE) * n_syllables / n_words
+              - CAST(15.59 AS DOUBLE)) * 10000 + 0.5)
+           / 10000 AS fk_grade
 FROM base WHERE n_words > 0 ORDER BY doc_id
 """
 
