@@ -6614,6 +6614,198 @@ FROM contrib GROUP BY source ORDER BY source
 """
 
 
+def q_crawl_hub_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-page detection over the engine-truth anchor index: top source
+    pages by out-degree with distinct-target/host fanout and the share of
+    SELF-host links — navigation hubs (high out-degree, low cross-host
+    reach) separate from genuine directory pages. One groupBy on src."""
+    links = _crawl_links(spark)
+    return (
+        links.groupBy("src_url")
+        .agg(
+            F.count("*").alias("out_degree"),
+            F.countDistinct("dst_url").alias("n_targets"),
+            F.countDistinct("dst_domain").alias("n_dst_hosts"),
+            F.round(
+                F.sum(
+                    (F.col("dst_domain") == F.col("src_domain")).cast("double")
+                )
+                / F.count("*"),
+                6,
+            ).alias("self_share"),
+        )
+        .orderBy(F.desc("out_degree"), F.asc("src_url"))
+        .limit(20)
+    )
+
+
+SQL_CRAWL_HUB_PAGES = f"""
+SELECT src_url, count(*) AS out_degree,
+       count(DISTINCT dst_url) AS n_targets,
+       count(DISTINCT dst_domain) AS n_dst_hosts,
+       round(sum(CASE WHEN dst_domain = src_domain THEN 1.0 ELSE 0.0 END)
+             / count(*), 6) AS self_share
+FROM '{_CRAWL_LINKS_PARQUET}'
+GROUP BY src_url ORDER BY out_degree DESC, src_url ASC LIMIT 20
+"""
+
+
+def q_embed_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution audit over the IVF-cell-blocked pair
+    set (width-0.1 bins, floor semantics) — the calibration evidence
+    behind every cosine threshold in the dedup/ANN planes: where the
+    corpus mass actually sits. Cell blocking prices the pair stage at
+    collision volume, the same contract as dedup_embedding_cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_pairs(emb, _centroids_df(spark, emb), -1.0)
+    bin_ = F.floor(F.col("cos") * 10).cast("int")
+    return (
+        pairs.groupBy(bin_.alias("cos_bin"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("cos_bin")
+    )
+
+
+SQL_EMBED_COS_HISTOGRAM = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cids(cell, cvid) AS (VALUES {_CENTROID_VALUES}),
+cent AS (SELECT cell, v AS cv FROM cids JOIN e ON e.vec_id = cids.cvid),
+scored AS (SELECT e.vec_id, e.v, cent.cell,
+                  {_duck_cos("e.v", "cent.cv")} AS ccos
+           FROM e CROSS JOIN cent),
+assigned AS (SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell ASC) AS rn FROM scored)
+    WHERE rn = 1),
+pairs AS (SELECT {_duck_cos("a.v", "b.v")} AS cos
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT CAST(floor(cos * 10) AS INTEGER) AS cos_bin, count(*) AS n_pairs
+FROM pairs GROUP BY cos_bin ORDER BY cos_bin
+"""
+
+
+_HEAPS_CHECKPOINTS = 10
+
+
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth audit: cumulative distinct vocabulary
+    and token volume at ten doc-order checkpoints — V(n) ~ K·n^β sanity
+    for the corpus (sub-linear growth; a TRAP corpus of generated gibberish
+    grows linearly). All integers. The trick is relational: each term's
+    FIRST document (one min aggregate) turns 'distinct so far' into a
+    cumulative count of first occurrences — no running-distinct window."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    step = max(1, n_docs // _HEAPS_CHECKPOINTS)
+    cps = spark.range(1, _HEAPS_CHECKPOINTS + 1).select(
+        (F.col("id") * step).cast("long").alias("checkpoint")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(sql_tokens(F.col("text"))).alias("term")
+    )
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # NB: cps["checkpoint"], not cps.checkpoint — the attribute form
+    # resolves to DataFrame.checkpoint (the method), a classic shadow
+    vocab_cum = (
+        cps.join(first, first.first_doc < cps["checkpoint"])
+        .groupBy("checkpoint")
+        .agg(F.count("*").alias("vocab_cum"))
+    )
+    toks_cum = (
+        cps.join(per_doc, per_doc.doc_id < cps["checkpoint"])
+        .groupBy("checkpoint")
+        .agg(F.sum("n").alias("tokens_cum"))
+    )
+    return (
+        toks_cum.join(vocab_cum, "checkpoint").orderBy("checkpoint")
+    )
+
+
+def _sql_text_vocab_growth(sf_dir: str | None = None) -> str:
+    # checkpoints derive from the corpus size; the oracle computes them
+    # the same way (count(*) // 10), entirely in SQL
+    return f"""
+WITH n AS (SELECT count(*) AS nd FROM documents),
+cps AS (SELECT CAST(x * greatest(nd // {_HEAPS_CHECKPOINTS}, 1) AS BIGINT)
+               AS checkpoint
+        FROM range(1, {_HEAPS_CHECKPOINTS} + 1) t(x) CROSS JOIN n),
+tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+first AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term),
+per_doc AS (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id),
+vc AS (SELECT checkpoint, count(*) AS vocab_cum
+       FROM cps JOIN first ON first.first_doc < cps.checkpoint
+       GROUP BY checkpoint),
+tc AS (SELECT checkpoint, CAST(sum(cnt) AS BIGINT) AS tokens_cum
+       FROM cps JOIN per_doc ON per_doc.doc_id < cps.checkpoint
+       GROUP BY checkpoint)
+SELECT tc.checkpoint, tokens_cum, vocab_cum
+FROM tc JOIN vc ON tc.checkpoint = vc.checkpoint
+ORDER BY tc.checkpoint
+"""
+
+
+def q_sample_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic repetition plan closing the mixture loop: each
+    lang's temperature boost becomes per-doc copy counts — floor(boost)
+    guaranteed copies plus one md5-Bernoulli copy with p = frac(boost)
+    (Efraimidis-style engine-portable uniform) — so the emitted corpus
+    realizes the target mixture in expectation with zero RNG state.
+    Output: per lang, docs, planned copies, realized boost."""
+    from spacetime_crawler4_spark.operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    mix = temperature_mixture(docs, alpha=_TEMP_ALPHA).select("lang", "boost")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rp:"), F.col("doc_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**6))
+    )
+    planned = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(mix), "lang")
+        .select(
+            "lang",
+            "doc_id",
+            (
+                F.floor("boost")
+                + (u < (F.col("boost") - F.floor("boost"))).cast("long")
+            ).alias("n_copies"),
+        )
+    )
+    return (
+        planned.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_copies").alias("n_copies"),
+            F.round(F.sum("n_copies") / F.count("*"), 6).alias("realized_boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_sample_repeat_plan() -> str:
+    mix_sql = SQL_SAMPLE_TEMPERATURE.strip().rstrip(";")
+    return f"""
+WITH mix AS ({mix_sql}),
+planned AS (SELECT d.lang, d.doc_id,
+       floor(m.boost)
+       + CASE WHEN CAST(CAST('0x' || substr(md5('rp:' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+                         AS BIGINT) AS DOUBLE) / {float(16**6)}
+                   < m.boost - floor(m.boost)
+              THEN 1 ELSE 0 END AS n_copies
+       FROM documents d JOIN mix m ON m.lang = d.lang)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_copies) AS BIGINT) AS n_copies,
+       round(sum(n_copies) * 1.0 / count(*), 6) AS realized_boost
+FROM planned GROUP BY lang ORDER BY lang
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -6698,6 +6890,10 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             _sql_dedup_minhash_estimate(),
         ),
         "text_js_divergence": (q_text_js_divergence, SQL_TEXT_JS_DIVERGENCE),
+        "crawl_hub_pages": (q_crawl_hub_pages, SQL_CRAWL_HUB_PAGES),
+        "embed_cos_histogram": (q_embed_cos_histogram, SQL_EMBED_COS_HISTOGRAM),
+        "text_vocab_growth": (q_text_vocab_growth, _sql_text_vocab_growth()),
+        "sample_repeat_plan": (q_sample_repeat_plan, _sql_sample_repeat_plan()),
     }
 
 
