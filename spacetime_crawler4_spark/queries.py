@@ -6806,6 +6806,190 @@ FROM planned GROUP BY lang ORDER BY lang
 """
 
 
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: event volume and distinct users
+    per hour 0-23 with each hour's share of the day — the load-shape
+    audit capacity planning and anomaly baselines start from."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(F.hour("ts").alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = per.agg(F.sum("n_events").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "hour",
+            "n_events",
+            "n_users",
+            F.round(F.col("n_events") / F.col("_t"), 6).alias("share"),
+        )
+        .orderBy("hour")
+    )
+
+
+SQL_EVENTS_HOURLY_PROFILE = """
+WITH per AS (SELECT CAST(hour(ts) AS INTEGER) AS hour, count(*) AS n_events,
+                    count(DISTINCT user_id) AS n_users
+             FROM events GROUP BY hour(ts)),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM per)
+SELECT hour, n_events, n_users, round(n_events * 1.0 / t, 6) AS share
+FROM per CROSS JOIN tot ORDER BY hour
+"""
+
+
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20 — the three-table join chain (lineitem ⋈ orders ⋈ broadcast
+    customer ⋈ broadcast nation) with the RETURN-flag filter pushed to
+    the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster provenance audit: for every minhash component, how
+    many distinct sources and langs its members span — cross-source
+    clusters are the documents-table analogue of mirror hosts (the same
+    content syndicated), single-source clusters are true internal dups.
+    One metadata join on the component labels + one aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    cc = connected_components(minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5))
+    meta = docs.select(F.col("doc_id").alias("id"), "source", "lang")
+    return (
+        cc.join(meta, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.countDistinct("source") > 1).alias("cross_source"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTER_PURITY = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES}
+SELECT cluster_id, count(*) AS n_members,
+       count(DISTINCT d.source) AS n_sources,
+       count(DISTINCT d.lang) AS n_langs,
+       count(DISTINCT d.source) > 1 AS cross_source
+FROM comp JOIN documents d ON d.doc_id = comp.id
+GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+def q_ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy skew audit: per-cell vector counts plus each
+    cell's ratio to the ideal uniform load — the partition-balance
+    evidence behind the ANN scale story (a hot cell is a hot partition;
+    multiprobe and repartitioning decisions start from this table)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, _centroids_df(spark, emb))
+    per = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    tot = per.agg(F.sum("n_vecs").alias("_t"), F.count("*").alias("_c"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("n_vecs") * F.col("_c") / F.col("_t"), 6).alias(
+                "load_ratio"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+SQL_ANN_IVF_CELL_BALANCE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cids(cell, cvid) AS (VALUES {_CENTROID_VALUES}),
+cent AS (SELECT cell, v AS cv FROM cids JOIN e ON e.vec_id = cids.cvid),
+scored AS (SELECT e.vec_id, cent.cell,
+                  {_duck_cos("e.v", "cent.cv")} AS ccos
+           FROM e CROSS JOIN cent),
+assigned AS (SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell ASC) AS rn FROM scored)
+    WHERE rn = 1),
+per AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t, count(*) AS c FROM per)
+SELECT cell, n_vecs, round(n_vecs * 1.0 * c / t, 6) AS load_ratio
+FROM per CROSS JOIN tot ORDER BY cell
+"""
+
+
+def q_text_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stopword coverage from the vendored reference stopword
+    list (the token-policy data the engine must match): stopword token
+    share and distinct-stopword coverage — the fluency-vs-keyword-stuffing
+    signal C4/Gopher gate on, here as a per-source audit. The list is a
+    broadcast literal on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    sw = _stopwords()
+    tok = docs.select("source", F.explode(sql_tokens(F.col("text"))).alias("term"))
+    is_sw = F.col("term").isin(sw)
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(is_sw.cast("long")).alias("n_stopword_tokens"),
+            F.countDistinct(F.when(is_sw, F.col("term"))).alias("n_distinct_sw"),
+            F.round(F.sum(is_sw.cast("double")) / F.count("*"), 6).alias(
+                "stopword_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_text_stopword_coverage() -> str:
+    # the reference list contains contractions — double the apostrophes
+    values = ", ".join("('{}')".format(w.replace("'", "''")) for w in _stopwords())
+    return f"""
+WITH sw(w) AS (VALUES {values}),
+tok AS (SELECT source, unnest({_DUCK_TOKS}) AS term FROM documents),
+flag AS (SELECT source, term, term IN (SELECT w FROM sw) AS is_sw FROM tok)
+SELECT source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN is_sw THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stopword_tokens,
+       count(DISTINCT CASE WHEN is_sw THEN term END) AS n_distinct_sw,
+       round(sum(CASE WHEN is_sw THEN 1.0 ELSE 0.0 END) / count(*), 6)
+           AS stopword_share
+FROM flag GROUP BY source ORDER BY source
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -6894,6 +7078,20 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "embed_cos_histogram": (q_embed_cos_histogram, SQL_EMBED_COS_HISTOGRAM),
         "text_vocab_growth": (q_text_vocab_growth, _sql_text_vocab_growth()),
         "sample_repeat_plan": (q_sample_repeat_plan, _sql_sample_repeat_plan()),
+        "events_hourly_profile": (
+            q_events_hourly_profile,
+            SQL_EVENTS_HOURLY_PROFILE,
+        ),
+        "tpch_returned_items": (q_tpch_returned_items, SQL_TPCH_RETURNED_ITEMS),
+        "dedup_cluster_purity": (q_dedup_cluster_purity, SQL_DEDUP_CLUSTER_PURITY),
+        "ann_ivf_cell_balance": (
+            q_ann_ivf_cell_balance,
+            SQL_ANN_IVF_CELL_BALANCE,
+        ),
+        "text_stopword_coverage": (
+            q_text_stopword_coverage,
+            _sql_text_stopword_coverage(),
+        ),
     }
 
 
