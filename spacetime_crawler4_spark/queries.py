@@ -6990,6 +6990,223 @@ FROM flag GROUP BY source ORDER BY source
 """
 
 
+def q_tpch_shipyear_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship year, line counts split by order
+    priority class (URGENT/HIGH vs the rest) — the classic fact⋈fact
+    join whose aggregate is two conditional counts, so the map-side
+    partial agg carries exactly two longs per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+SQL_TPCH_SHIPYEAR_PRIORITY = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY year(l_shipdate) ORDER BY ship_year
+"""
+
+
+def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose summed
+    line quantity clears a threshold, joined back to orders + broadcast
+    customer. The HAVING runs on the REDUCED per-order aggregate before
+    any join — the probe side shrinks from |lineitem| to the few
+    qualifying orderkeys, which is the whole point of the shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey", F.round("_q", 2).alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_LARGE_ORDERS = """
+WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > 300)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand+size from part, quantity from lineitem).
+    Catalyst splits the disjunction: the common join key stays a plain
+    hash join and the per-branch conjuncts evaluate post-join, while
+    single-side implications (brand IN (...), quantity bounds) push to
+    the scans — the plan-audit case for disjunctive pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & q.between(5, 20)
+         & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 30)
+           & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 40)
+           & F.col("p_size").between(1, 30))
+    )
+    return (
+        j.filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_TPCH_DISJUNCTIVE_REVENUE = """
+SELECT p_brand, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 5 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 30
+       AND p_size BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 40
+       AND p_size BETWEEN 1 AND 30)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion attribution: each user's FIRST event (by
+    ts, event_id tie-break) claims all their purchases. One window to
+    elect the first touch, one purchase aggregate, one key join — the
+    channel-attribution shape marketing pipelines run at full-event
+    scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_np"))
+    )
+    return (
+        first.join(purch, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("_np").isNotNull().cast("long")).alias("n_converted"),
+            F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("_np").isNotNull().cast("double")) / F.count("*"), 6
+            ).alias("conv_rate"),
+        )
+        .orderBy("first_touch")
+    )
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH f AS (SELECT user_id, event_type AS first_touch FROM (
+             SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+             FROM events) WHERE rn = 1),
+p AS (SELECT user_id, count(*) AS np FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT first_touch, count(*) AS n_users,
+       CAST(sum(CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_converted,
+       CAST(coalesce(sum(np), 0) AS BIGINT) AS n_purchases,
+       round(sum(CASE WHEN np IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*), 6)
+           AS conv_rate
+FROM f LEFT JOIN p USING (user_id)
+GROUP BY first_touch ORDER BY first_touch
+"""
+
+
+def q_dedup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion audit over the minhash components: per cluster,
+    how many of its member pairs are DIRECT verified LSH pairs vs merely
+    transitively connected. Low cohesion flags chain-merged clusters —
+    the failure mode where A~B~C links documents A and C that are not
+    near-dups of each other, so a keep-one-master pass would drop a
+    non-duplicate. Reuses the pair graph; one extra join + aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5)
+    cc = connected_components(pairs)
+    mem = cc.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    direct = (
+        pairs.join(cc, pairs.id_a == cc.id)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_direct_pairs"))
+    )
+    possible = (F.col("n_members") * (F.col("n_members") - 1) / 2).cast("long")
+    return (
+        mem.join(direct, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_direct_pairs",
+            possible.alias("n_possible_pairs"),
+            F.round(F.col("n_direct_pairs") / possible, 6).alias("cohesion"),
+            (F.col("n_direct_pairs") < possible).alias("chain_merged"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTER_COHESION = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+mem AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id),
+direct AS (SELECT c.cluster_id, count(*) AS n_direct_pairs
+           FROM pairs p JOIN comp c ON c.id = p.id_a GROUP BY c.cluster_id)
+SELECT m.cluster_id, n_members, n_direct_pairs,
+       CAST(n_members * (n_members - 1) / 2 AS BIGINT) AS n_possible_pairs,
+       round(n_direct_pairs * 1.0 / (n_members * (n_members - 1) / 2), 6)
+           AS cohesion,
+       n_direct_pairs < n_members * (n_members - 1) / 2 AS chain_merged
+FROM mem m JOIN direct USING (cluster_id) ORDER BY m.cluster_id
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -7092,6 +7309,20 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_text_stopword_coverage,
             _sql_text_stopword_coverage(),
         ),
+        "tpch_shipyear_priority": (
+            q_tpch_shipyear_priority,
+            SQL_TPCH_SHIPYEAR_PRIORITY,
+        ),
+        "tpch_large_orders": (q_tpch_large_orders, SQL_TPCH_LARGE_ORDERS),
+        "tpch_disjunctive_revenue": (
+            q_tpch_disjunctive_revenue,
+            SQL_TPCH_DISJUNCTIVE_REVENUE,
+        ),
+        "events_attribution": (q_events_attribution, SQL_EVENTS_ATTRIBUTION),
+        "dedup_cluster_cohesion": (
+            q_dedup_cluster_cohesion,
+            SQL_DEDUP_CLUSTER_COHESION,
+        ),
     }
 
 
@@ -7152,11 +7383,18 @@ def _promotion(
 
 
 def registry() -> dict[str, tuple[SparkFn, str | None]]:
+    """Full query surface in driver order: the never-driver-checked
+    window leads (first CORRECTNESS_WINDOW entries are what the driver
+    certifies this round), driver-green queries follow, and any staged
+    queries that did not fit the window trail at the very end — exposed
+    as first-class ``queries()``/``oracle_sql()`` entries (every one
+    keeps the identical local DuckDB-oracle gate) while staying safely
+    past the certification window."""
     base = _base_registry()
     staged = _staged_registry()
-    order, _ = _promotion(list(base), list(staged), _driver_green_names())
+    order, still = _promotion(list(base), list(staged), _driver_green_names())
     merged = {**base, **staged}
-    return {n: merged[n] for n in order}
+    return {n: merged[n] for n in [*order, *still]}
 
 
 def pending_registry() -> dict[str, tuple[SparkFn, str | None]]:
