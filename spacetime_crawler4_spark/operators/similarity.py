@@ -743,3 +743,152 @@ def hashed_doc_vectors(
             ).alias("w"),
         )
     )
+
+
+# 16^12: the u01 denominator for the 12-hex-digit md5 prefix draw —
+# both engines divide the exact integer prefix by this exact power of
+# two, so the uniform deviate is bit-identical.
+KMPP_HEX12 = 16**12
+
+
+def kmeans_parallel_init(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    l: int = 8,
+    rounds: int = 2,
+    salt: str = "kmpp",
+) -> DataFrame:
+    """Deterministic k-means|| seeding (Bahmani et al., VLDB'12): the
+    scalable replacement for k-means++'s k sequential passes. Each round
+    oversamples ~``l`` candidates IN PARALLEL with probability
+    ``l * d2(x, C) / phi(C)``, so a k-way codebook needs O(rounds)
+    corpus passes instead of O(k) — the seeding shape that feeds
+    ``ivf_train`` at 100-TB vector scale.
+
+    Engine-portable determinism (no RNG state):
+    - the first center is the min-``md5(id)`` row;
+    - per-round squared L2 distances fold sequentially in double
+      (``dot``), then snap to scaled integers
+      ``floor(d2 * 1e6 + 0.5)`` — the tie-safe rounding that makes the
+      min-over-centers and the phi sum EXACT integer arithmetic,
+      immune to partition order;
+    - the Bernoulli draw is ``md5(salt:round:id)``'s first 12 hex
+      digits over 16^12 — the same hash-uniform family as the
+      sampling/sketch planes — compared against
+      ``l * d2i / phi`` (two exact-operand double divisions, so both
+      engines make the identical keep/drop call).
+
+    Scale shape: centers stay a driver-side list bounded by
+    ``1 + l * rounds`` (same justification as the IVF codebooks); every
+    round is ONE zero-shuffle projection over inlined center literals +
+    one scalar aggregate; the final weight pass is one groupBy. No
+    joins, no cartesian anywhere.
+
+    Returns (center_id, round_added, weight): the candidate codebook
+    with round provenance and the member counts a weighted k-means
+    recluster consumes.
+    """
+    import math
+
+    idc = F.col(id_col)
+
+    def _u01(rnd: int) -> Column:
+        a = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:{rnd}:"), idc.cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        return a / F.lit(float(KMPP_HEX12))
+
+    def _sq_sequential(vec) -> float:
+        # driver-side sequential fold in double == DuckDB
+        # list_dot_product(v, v) == dot(v, v): same order, same type
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return acc
+
+    def _d2i_cols(centers: list) -> Column:
+        """Min scaled-int squared distance to the center set, computed
+        entirely inside the row projection (centers inlined as literals,
+        zero shuffle — the ivf_assign discipline)."""
+        dxx = dot(F.col(vec_col), F.col(vec_col))
+        cands = []
+        for _, cvec in centers:
+            clit = F.array(*[F.lit(float(x)) for x in cvec])
+            d2 = (
+                dxx
+                - F.lit(2.0) * dot(F.col(vec_col), clit)
+                + F.lit(_sq_sequential(cvec))
+            )
+            cands.append(
+                F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long")
+            )
+        return F.array_min(F.array(*cands))
+
+    first = (
+        emb.orderBy(F.md5(idc.cast("string")))
+        .select(id_col, vec_col)
+        .limit(1)
+        .collect()[0]
+    )
+    centers: list[tuple] = [(first[id_col], list(first[vec_col]))]
+    rounds_of: dict = {centers[0][0]: 0}
+
+    for rnd in range(1, rounds + 1):
+        with_d2 = emb.select(
+            id_col, vec_col, _d2i_cols(centers).alias("_d2i")
+        )
+        phi = with_d2.agg(F.sum("_d2i").alias("s")).collect()[0]["s"]
+        if not phi:  # all points coincide with a center — nothing to add
+            break
+        sampled = (
+            with_d2.filter(
+                _u01(rnd)
+                < (F.col("_d2i") * F.lit(l)).cast("double") / F.lit(float(phi))
+            )
+            .select(id_col, vec_col)
+            .collect()
+        )
+        for row in sorted(sampled, key=lambda r: r[id_col]):
+            centers.append((row[id_col], list(row[vec_col])))
+            rounds_of[row[id_col]] = rnd
+
+    # final weights: nearest center per point (min d2i, then min center
+    # id — struct comparison is lexicographic), one groupBy count
+    dxx = dot(F.col(vec_col), F.col(vec_col))
+    cand_structs = []
+    for cid, cvec in centers:
+        clit = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = (
+            dxx
+            - F.lit(2.0) * dot(F.col(vec_col), clit)
+            + F.lit(_sq_sequential(cvec))
+        )
+        cand_structs.append(
+            F.struct(
+                F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+        )
+    nearest = F.array_min(F.array(*cand_structs))["cid"]
+    weights = {
+        r["cid"]: r["w"]
+        for r in emb.select(nearest.alias("cid"))
+        .groupBy("cid")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    }
+
+    spark = emb.sparkSession
+    rows = [
+        (int(cid), int(rounds_of[cid]), int(weights.get(cid, 0)))
+        for cid, _ in centers
+    ]
+    out = spark.createDataFrame(rows, "center_id long, round_added int, weight long")
+    return out.orderBy("center_id")

@@ -6990,6 +6990,72 @@ FROM flag GROUP BY source ORDER BY source
 """
 
 
+def q_ann_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| candidate codebook (Bahmani et al., VLDB'12) over the
+    embeddings table: 2 oversampling rounds at l=8, entirely
+    deterministic (md5-uniform draws, scaled-integer distances), so the
+    oracle replays the identical recurrence as two unrolled CTE rounds.
+    The operator's per-round pass is a zero-shuffle projection over
+    inlined center literals + one scalar aggregate — the O(rounds)
+    seeding that replaces k-means++'s O(k) sequential passes in front of
+    ivf_train."""
+    from spacetime_crawler4_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_parallel_init(emb, l=8, rounds=2)
+
+
+def _sql_ann_kmeanspp_init() -> str:
+    d2 = (
+        "(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.v)"
+        " + list_dot_product(c.v, c.v))"
+    )
+    snap = (
+        f"CAST(floor({d2} * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS BIGINT)"
+    )
+
+    def draw(rnd: int) -> str:
+        return (
+            "CAST(CAST('0x' || substr(md5('kmpp:"
+            f"{rnd}"
+            ":' || CAST(d.id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)"
+            " / CAST(281474976710656 AS DOUBLE)"
+            " < CAST(8 * d.d2i AS DOUBLE) / CAST(p.phi AS DOUBLE)"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+c0 AS (SELECT id, v, 0 AS rnd FROM e
+       ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 1),
+d1 AS (SELECT e.id, min({snap}) AS d2i
+       FROM e CROSS JOIN c0 c GROUP BY e.id),
+p1 AS (SELECT CAST(sum(d2i) AS BIGINT) AS phi FROM d1),
+s1 AS (SELECT d.id FROM d1 d CROSS JOIN p1 p WHERE {draw(1)}),
+c1 AS (SELECT id, v, rnd FROM c0
+       UNION ALL SELECT e.id, e.v, 1 FROM e JOIN s1 ON s1.id = e.id),
+d2 AS (SELECT e.id, min({snap}) AS d2i
+       FROM e CROSS JOIN c1 c GROUP BY e.id),
+p2 AS (SELECT CAST(sum(d2i) AS BIGINT) AS phi FROM d2),
+s2 AS (SELECT d.id FROM d2 d CROSS JOIN p2 p WHERE {draw(2)}),
+c2 AS (SELECT id, v, rnd FROM c1
+       UNION ALL SELECT e.id, e.v, 2 FROM e JOIN s2 ON s2.id = e.id),
+pair AS (SELECT e.id, c.id AS cid, {snap} AS d2i
+         FROM e CROSS JOIN c2 c),
+asg AS (SELECT id, cid FROM (
+          SELECT id, cid, row_number() OVER (PARTITION BY id
+                                             ORDER BY d2i ASC, cid ASC) AS rn
+          FROM pair) WHERE rn = 1),
+w AS (SELECT cid, count(*) AS weight FROM asg GROUP BY cid)
+SELECT c.id AS center_id, CAST(c.rnd AS INTEGER) AS round_added,
+       CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+FROM c2 c LEFT JOIN w ON w.cid = c.id ORDER BY center_id
+"""
+
+
 def q_tpch_shipyear_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: per ship year, line counts split by order
     priority class (URGENT/HIGH vs the rest) — the classic fact⋈fact
@@ -7323,6 +7389,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_dedup_cluster_cohesion,
             SQL_DEDUP_CLUSTER_COHESION,
         ),
+        "ann_kmeanspp_init": (q_ann_kmeanspp_init, _sql_ann_kmeanspp_init()),
     }
 
 
