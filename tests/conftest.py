@@ -81,9 +81,15 @@ def engine_frontier(spark, corpus_dir):
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    import tempfile
+
     from pyspark.sql import SparkSession
 
+    # warehouse + metastore in a throwaway dir so saveAsTable (the
+    # bucketed-table tests) never litters the repo with spark-warehouse/
+    # or derby metastore_db/
+    wh = tempfile.mkdtemp(prefix="spark-wh-")
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("spacetime-crawler4-spark-tests")
@@ -92,6 +98,10 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", f"{wh}/warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", f"-Dderby.system.home={wh}/derby"
+        )
         .getOrCreate()
     )
     yield spark
