@@ -94,6 +94,37 @@ def windowed_event_counts(
     )
 
 
+def seen_dedup_stream(
+    pages_stream: DataFrame,
+    key_col: str = "url",
+    event_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-seen filter with BOUNDED state: first sighting of a
+    key passes, re-sightings within ``watermark`` of event time are
+    dropped (``dropDuplicatesWithinWatermark``), and the state store
+    evicts keys once the watermark passes them — the streaming analogue
+    of the crawl engine's seen anti-join (J1) that never grows without
+    bound the way a raw ``dropDuplicates`` on an infinite stream would.
+
+    Keys are normalized (trailing-slash collapse, F1) before comparison
+    so http(s) twins of the same page dedup the same way the batch
+    frontier does. Late re-sightings BEYOND the watermark can re-admit a
+    key; downstream the batch engine's exact seen anti-join (keyed on
+    the durable frontier) stays the source of truth — this stage exists
+    to shed the intra-window duplicate mass before the expensive
+    parse/fetch plane, not to be the final arbiter.
+    """
+    from spacetime_crawler4_spark.functions.urls import normalize_url_col
+
+    return (
+        pages_stream.withColumn("_seen_key", normalize_url_col(F.col(key_col)))
+        .withWatermark(event_col, watermark)
+        .dropDuplicatesWithinWatermark(["_seen_key"])
+        .drop("_seen_key")
+    )
+
+
 def incremental_crawl_query(
     spark: SparkSession,
     seeds_stream: DataFrame,

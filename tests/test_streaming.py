@@ -203,3 +203,67 @@ def test_seeds_frontier_df_bounded_fat_batch(spark, corpus_dir):
     assert rows[0]["seq"] == "0000000" and rows[-1]["seq"] == f"{n - 1:07d}"
     assert rows[0]["urlhash"] == urlhash(rows[0]["url"])
     assert {r["domain"] for r in rows} == {"http://www.example-a.test"}
+
+
+def test_seen_dedup_stream_bounded_state(spark, tmp_path):
+    """Streaming URL-seen filter: first sighting wins across micro-batches,
+    trailing-slash twins collapse (F1 normalization), and the state store
+    is watermark-bounded (dropDuplicatesWithinWatermark, not the
+    unbounded dropDuplicates)."""
+    import datetime
+
+    from spacetime_crawler4_spark.streaming.ingest import seen_dedup_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    rows_a = [(f"http://seen.test/p{i}", t0, "a") for i in range(10)]
+    # batch b re-sights p5..p9 (plus a trailing-slash twin of p0) and
+    # adds p10..p14
+    rows_b = (
+        [(f"http://seen.test/p{i}", t0, "b") for i in range(5, 10)]
+        + [("http://seen.test/p0/", t0, "b")]
+        + [(f"http://seen.test/p{i}", t0, "b") for i in range(10, 15)]
+    )
+    schema = "url string, warc_ts timestamp, batch string"
+    for name, rows in (("drop-000.parquet", rows_a), ("drop-001.parquet", rows_b)):
+        stage = tmp_path / f"stage-{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, drops / name)
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .parquet(str(drops))
+    )
+    q = (
+        seen_dedup_stream(st, key_col="url", event_col="warc_ts")
+        .writeStream.format("memory")
+        .queryName("seen_dedup")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from seen_dedup").collect()
+
+    # 15 distinct normalized keys: p0..p14 (the p0/ twin collapsed)
+    assert len(got) == 15
+    keys = sorted(r["url"].rstrip("/") for r in got)
+    assert keys == sorted(f"http://seen.test/p{i}" for i in range(15))
+    # first sighting wins: every overlapping key kept its batch-a row
+    by_key = {r["url"].rstrip("/"): r["batch"] for r in got}
+    for i in range(10):
+        assert by_key[f"http://seen.test/p{i}"] == "a"
+    for i in range(10, 15):
+        assert by_key[f"http://seen.test/p{i}"] == "b"
+    # equivalence with the batch seen-set: same surviving key set
+    batch_keys = {
+        r["k"]
+        for r in spark.read.parquet(str(drops))
+        .select(F.regexp_replace("url", "/+$", "").alias("k"))
+        .distinct()
+        .collect()
+    }
+    assert {r["url"].rstrip("/") for r in got} == batch_keys
