@@ -6990,6 +6990,79 @@ FROM flag GROUP BY source ORDER BY source
 """
 
 
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation fidelity (Kusupati et al., NeurIPS'22): for
+    each prefix width d, recall@5 of cosine top-k over the FIRST d
+    dimensions vs the full 64-dim exact top-k. The audit behind the
+    shortening trick modern embedding stores use to cut memory/IO 2-8x:
+    if recall at d=16 is near 1.0, the ANN tier can index the prefix and
+    re-rank with the full vector. Same brute-force plan per width
+    (broadcast queries, one corpus stream), widths unioned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    full = brute_force_topk(emb, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("full_nb")
+    )
+    out = None
+    for d in MATRYOSHKA_DIMS:
+        sl = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        qd = q.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        trunc = brute_force_topk(sl, qd, k=5).select(
+            "query_id", F.col("neighbor_id").alias("tr_nb")
+        )
+        hits = full.join(
+            trunc,
+            (full.query_id == trunc.query_id) & (full.full_nb == trunc.tr_nb),
+        ).count()
+        denom = full.count()
+        row = spark.createDataFrame(
+            [(d, denom, hits)], "dim int, n_pairs long, n_hits long"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "dim",
+        "n_pairs",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_pairs"), 6).alias("recall_at_5"),
+    ).orderBy("dim")
+
+
+def _sql_embed_matryoshka_recall() -> str:
+    def topk(width: str, name: str) -> str:
+        return f"""
+{name}_s AS (SELECT q.id AS query_id, e.id AS neighbor_id,
+             {_duck_cos(f"list_slice(q.v, 1, {width})", f"list_slice(e.v, 1, {width})")} AS cos
+      FROM eq q JOIN e ON e.id <> q.id),
+{name} AS (SELECT query_id, neighbor_id FROM (
+     SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+     FROM {name}_s) WHERE rank <= 5)"""
+
+    widths = ",".join(topk(str(d), f"t{d}") for d in MATRYOSHKA_DIMS)
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS dim, (SELECT count(*) FROM full_k) AS n_pairs,
+       (SELECT count(*) FROM full_k f JOIN t{d} t
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id) AS n_hits"""
+        for d in MATRYOSHKA_DIMS
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+eq AS (SELECT id, v FROM e WHERE id % {ANN_QUERY_MOD} = 0),
+{topk("64", "full_k").lstrip()},
+{widths.lstrip()},
+u AS ({unions})
+SELECT CAST(dim AS INTEGER) AS dim, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / n_pairs, 6) AS recall_at_5
+FROM u ORDER BY dim
+"""
+
+
 def q_ann_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means|| candidate codebook (Bahmani et al., VLDB'12) over the
     embeddings table: 2 oversampling rounds at l=8, entirely
@@ -7390,6 +7463,10 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             SQL_DEDUP_CLUSTER_COHESION,
         ),
         "ann_kmeanspp_init": (q_ann_kmeanspp_init, _sql_ann_kmeanspp_init()),
+        "embed_matryoshka_recall": (
+            q_embed_matryoshka_recall,
+            _sql_embed_matryoshka_recall(),
+        ),
     }
 
 

@@ -84,3 +84,61 @@ def test_selection_plan_partitions_by_domain_and_salt(spark, corpus_dir):
 
     assert re.search(r"hashpartitioning\(domain#\d+, _salt", plan), plan[:2000]
     assert re.search(r"hashpartitioning\(domain#\d+, \d+\)", plan)
+
+
+def test_aqe_skew_join_splits_the_hot_partition(spark):
+    """Runtime AQE skew-join evidence (the north rule names AQE skew
+    handling alongside salting): a violently skewed join key must make
+    AQE split the hot partition — the executed SortMergeJoin carries
+    the ``skew=true`` marker — instead of serializing the mega-key into
+    one straggler task. This is the safety net UNDER the engine's
+    explicit salting: even an unsalted hot key cannot pin a task."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # non-foldable fat payload: Catalyst would constant-fold (and
+        # prune) a literal pad, leaving the hot partition under the skew
+        # threshold — sha2(id) varies per row and survives into the join
+        pad = F.concat(
+            F.repeat(F.sha2(F.col("id").cast("string"), 256), 4),
+        )
+        # 60k rows, ~90% on domain 0 — one mega-host frontier partition
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("domain_id"),
+            pad.alias("payload"),
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("domain_id"), F.lit(0.5).alias("delay")
+        )
+        # keep the fat column alive through the join (column pruning would
+        # otherwise shrink the hot partition below the skew threshold) and
+        # finish with a GLOBAL aggregate — a same-key groupBy downstream
+        # would legitimately block the split (it needs co-partitioning)
+        joined = left.join(right, "domain_id").agg(
+            F.sum(F.length("payload") * F.col("delay")).alias("mass")
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the skewed partition:\n" + plan
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
