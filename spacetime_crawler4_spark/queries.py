@@ -6990,6 +6990,58 @@ FROM flag GROUP BY source ORDER BY source
 """
 
 
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the NB classifier's predictions
+    (text_nb_langid) bucketed by (actual, predicted) with per-actual
+    share and mean decision margin — the eval-hygiene table that says
+    WHICH languages the filter confuses before anyone thresholds on it.
+    One groupBy over the scored frame + one broadcast of per-actual
+    totals."""
+    from spacetime_crawler4_spark.operators.classify import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = nb_classify(docs, label_col="lang")
+    lab = docs.select("doc_id", F.col("lang").alias("actual_lang"))
+    cell = (
+        preds.join(lab, "doc_id")
+        .groupBy("actual_lang", "pred_label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("margin"), 4).alias("avg_margin"),
+        )
+    )
+    per_actual = cell.groupBy("actual_lang").agg(
+        F.sum("n_docs").alias("_tot")
+    )
+    return (
+        cell.join(per_actual, "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_label",
+            "n_docs",
+            "avg_margin",
+            F.round(F.col("n_docs") / F.col("_tot"), 6).alias("share_of_actual"),
+        )
+        .orderBy("actual_lang", "pred_label")
+    )
+
+
+SQL_TEXT_LANGID_CONFUSION = f"""
+WITH preds AS (SELECT * FROM ({SQL_TEXT_NB_LANGID}) p),
+cell AS (SELECT d.lang AS actual_lang, p.pred_label,
+                count(*) AS n_docs,
+                round(avg(p.margin), 4) AS avg_margin
+         FROM preds p JOIN documents d USING (doc_id)
+         GROUP BY d.lang, p.pred_label),
+tot AS (SELECT actual_lang, CAST(sum(n_docs) AS BIGINT) AS t
+        FROM cell GROUP BY actual_lang)
+SELECT c.actual_lang, c.pred_label, c.n_docs, c.avg_margin,
+       round(c.n_docs * 1.0 / t.t, 6) AS share_of_actual
+FROM cell c JOIN tot t USING (actual_lang)
+ORDER BY c.actual_lang, c.pred_label
+"""
+
+
 MATRYOSHKA_DIMS = (8, 16, 32)
 
 
@@ -7466,6 +7518,10 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "embed_matryoshka_recall": (
             q_embed_matryoshka_recall,
             _sql_embed_matryoshka_recall(),
+        ),
+        "text_langid_confusion": (
+            q_text_langid_confusion,
+            SQL_TEXT_LANGID_CONFUSION,
         ),
     }
 
