@@ -831,12 +831,15 @@ def kmeans_parallel_init(
             )
         return F.array_min(F.array(*cands))
 
-    first = (
+    seed_rows = (
         emb.orderBy(F.md5(idc.cast("string")))
         .select(id_col, vec_col)
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not seed_rows:
+        raise ValueError("kmeans_parallel_init: empty input frame")
+    first = seed_rows[0]
     centers: list[tuple] = [(first[id_col], list(first[vec_col]))]
     rounds_of: dict = {centers[0][0]: 0}
 

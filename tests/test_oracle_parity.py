@@ -42,15 +42,16 @@ def _rows_to_multiset(cols, rows):
 ORACLES = dict(entry_mod.oracle_sql())
 QUERIES = dict(entry_mod.queries())
 
-# Queries staged for the next round's driver window get the identical
-# local gate from day one (queries.pending_registry docstring).
+# Still-pending staged queries are ALREADY exposed at the registry tail
+# (queries.registry docstring) — assert the exposure holds and that the
+# pending view stays consistent with what the entry point ships.
 from spacetime_crawler4_spark.queries import pending_registry  # noqa: E402
 
 for _name, (_fn, _sql) in pending_registry().items():
-    assert _name not in QUERIES, f"pending query {_name} shadows registry()"
-    QUERIES[_name] = _fn
+    assert _name in QUERIES, f"pending query {_name} missing from registry()"
+    assert QUERIES[_name] is _fn, f"pending query {_name} shadowed by another fn"
     if _sql is not None:
-        ORACLES[_name] = _sql
+        assert ORACLES.get(_name) == _sql, f"pending oracle {_name} diverges"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
