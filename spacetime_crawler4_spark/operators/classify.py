@@ -137,3 +137,88 @@ def nb_classify(
         F.round(F.col("score") - F.col("runner_up"), 6).alias("margin"),
         (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# logistic regression by deterministic full-batch gradient descent
+# --------------------------------------------------------------------------
+
+LR_PROB_SCALE = 1_000_000  # sigmoid fixed-point scale: p -> floor(p*1e6 + .5)
+
+
+def logreg_train_gd(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 4,
+    lr: float | list[float] = 0.001,
+) -> tuple[list[float], int]:
+    """Full-batch gradient-descent logistic regression whose training run
+    is bit-reproducible across engines and across cluster re-runs.
+
+    ``feats``: one row per example, INTEGER-valued feature columns (the
+    caller scales/centers; integer features are what make the gradient
+    exact) and a 0/1 ``label_col``. ``lr`` is a single step size or one
+    per weight (bias first) — the deterministic stand-in for feature
+    normalization when the integer features have very different scales.
+    Returns (weights, n) with weights[0] the bias (implicit x0 = 1)
+    followed by one weight per feature column.
+
+    Why this is the 100-TB shape (and why it is deterministic when
+    ``df.rdd``-based SGD is not):
+
+    - each iteration is ONE map-side-combined aggregation over the
+      corpus producing d+1 numbers — no shuffle beyond the final
+      partial-merge, no per-row Python, no parameter server;
+    - the driver holds only the (d+1)-float weight vector between
+      iterations (same bounded-driver contract as the IVF codebooks in
+      operators/similarity.py);
+    - float summation order varies with partitioning, so the gradient is
+      summed in INTEGER space instead: the sigmoid is quantized to
+      p6 = floor(1e6·σ(z) + 0.5) and grad_j = Σ (p6 − 1e6·y)·x_j is an
+      exact BIGINT — identical under any partitioning, any task retry,
+      and in the DuckDB oracle. The only cross-engine wobble left is a
+      last-ulp exp() difference landing exactly on a 0.5e-6 quantization
+      boundary (probability ~1e-10 per row; the round-3 ppx queries
+      carry the same documented exposure).
+    - weight updates happen in IEEE double with a FIXED expression shape
+      (w − (lr·g)/(n·1e6), left-associative), so Python, the JVM, and
+      DuckDB compute bit-identical weights from identical gradients.
+    """
+    n = feats.count()
+    if n == 0:
+        return [0.0] * (len(feature_cols) + 1), 0
+    w = [0.0] * (len(feature_cols) + 1)
+    lrs = list(lr) if isinstance(lr, (list, tuple)) else [lr] * len(w)
+    if len(lrs) != len(w):
+        raise ValueError(f"lr needs 1 or {len(w)} entries, got {len(lrs)}")
+    y6 = (F.col(label_col).cast("long") * F.lit(LR_PROB_SCALE)).alias("_y6")
+    for _ in range(iterations):
+        z = F.lit(w[0])
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(w[j + 1]) * F.col(c)
+        p6 = F.floor(
+            F.lit(float(LR_PROB_SCALE)) / (F.lit(1.0) + F.exp(-z)) + F.lit(0.5)
+        ).cast("long")
+        proj = feats.select((p6 - y6).alias("_d"), *feature_cols)
+        row = proj.agg(
+            F.sum("_d").alias("g0"),
+            *[
+                F.sum(F.col("_d") * F.col(c)).alias(f"g{j + 1}")
+                for j, c in enumerate(feature_cols)
+            ],
+        ).collect()[0]
+        w = [
+            w[j] - (lrs[j] * float(row[f"g{j}"])) / (n * float(LR_PROB_SCALE))
+            for j in range(len(w))
+        ]
+    return w, n
+
+
+def logreg_decision_col(w: list[float], feature_cols: list[str]):
+    """The fitted decision value z = w·[1, x...] as a column expression
+    (left-associative, mirroring the training expression exactly)."""
+    z = F.lit(w[0])
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(w[j + 1]) * F.col(c)
+    return z

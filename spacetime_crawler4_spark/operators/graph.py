@@ -386,3 +386,60 @@ def tree_roots(
             .localCheckpoint(eager=True)
         )
     return cur
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, label) after ``iterations`` synchronous min-label rounds.
+
+    Community/component labeling by synchronous label propagation with a
+    deterministic min() combiner: l_0(v) = v; l_i(v) = min(l_{i-1}(v),
+    min over undirected neighbors u of l_{i-1}(u)). After i rounds every
+    node carries the smallest id within i hops, so labels converge to
+    the component minimum in diameter rounds — the neighbor-step
+    alternative to pointer-jumping connected components
+    (operators/dedup.dup_clusters jumps in O(log n) rounds but rewrites
+    its edge set each round; label prop keeps the edge list STATIC — one
+    hash join + groupBy(min) per round against an immutable, cacheable,
+    bucketable frame, which is the cheaper plan when the graph is huge
+    and the diameter is small, the common web-host-graph case).
+
+    Edges are symmetrized and deduped here; min() makes the update both
+    commutative and idempotent, so the result is independent of
+    partitioning and of parallel-edge multiplicity.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        # static across all rounds: materialize once (same rationale as
+        # pagerank's checkpointed `we`; on a real cluster: persist +
+        # bucket on `a` so every round reuses one exchange)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        nbr = (
+            sym.join(labels.select(F.col("id").alias("a"), "label"), "a")
+            .select(F.col("b").alias("id"), "label")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            # consumed twice next round (self term + neighbor term):
+            # constant-depth lineage, same as the pagerank loop
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -215,3 +215,90 @@ def cms_pairs_sql(key_sql: str, row: int) -> str:
         f"CAST(('0x' || substr(md5('cms{row}:' || CAST({key_sql} AS VARCHAR)), "
         f"1, {CMS_HEX})) AS BIGINT) % {CMS_WIDTH}"
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (two-pass candidate + exact-verify)
+# --------------------------------------------------------------------------
+#
+# The 100-TB shape for "which keys exceed a phi=1/k frequency share": a
+# full groupBy over the raw key stream shuffles the entire vocabulary; the
+# Misra-Gries route keeps <= k counters PER PARTITION (map-side, zero
+# shuffle), unions the per-partition summaries (<= k * n_partitions rows),
+# and then makes ONE more pass that exact-counts ONLY the candidate keys
+# via a broadcast semi-join — the reduce-side agg state is bounded by the
+# candidate set, not the vocabulary. Soundness (Misra-Gries 1982; merge
+# form Agarwal et al., "Mergeable Summaries", PODS'12): an MG(k) summary
+# undercounts any key by at most n_p/k, so a key with global count
+# > n/k = sum_p n_p/k must retain a positive counter in at least one
+# partition's summary — the candidate union is a SUPERSET of the true
+# heavy hitters, and the exact-verify pass makes the final answer exact,
+# independent of partitioning, batch order, or summary content.
+
+MG_DEFAULT_K = 30
+
+
+def mg_candidates(df: DataFrame, key_col: str, k: int = MG_DEFAULT_K) -> DataFrame:
+    """Per-partition mergeable Misra-Gries summaries, unioned.
+
+    Output: (key_col, mg_count) candidate rows — a superset of every key
+    with count > n_partition/k in some partition — plus one sentinel row
+    per partition (key_col NULL, mg_count = partition row count) so the
+    caller can recover the exact global n without a second scan.
+
+    mapInPandas so the <= k counters persist ACROSS Arrow batches within
+    a partition; each batch folds in via exact value_counts followed by
+    the summary-merge rule (combine, then subtract the (k+1)-th largest
+    count and drop non-positives), which is the mergeable-summaries form
+    of the decrement step.
+    """
+    import pandas as pd
+
+    out_schema = f"`{key_col}` string, mg_count long"
+
+    def _mg(batches):
+        counters: "pd.Series | None" = None
+        n_rows = 0
+        for pdf in batches:
+            s = pdf[key_col].dropna().astype(str)
+            n_rows += len(s)
+            vc = s.value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = (counters - cut)[lambda c: c > 0]
+        rows = (
+            [] if counters is None
+            else [{key_col: key, "mg_count": int(c)} for key, c in counters.items()]
+        )
+        rows.append({key_col: None, "mg_count": n_rows})
+        yield pd.DataFrame(rows, columns=[key_col, "mg_count"])
+
+    return df.select(key_col).mapInPandas(_mg, schema=out_schema)
+
+
+def mg_heavy_hitters(
+    df: DataFrame, key_col: str, k: int = MG_DEFAULT_K
+) -> DataFrame:
+    """Exact keys with count > n/k, via MG candidates + one verify pass.
+
+    Returns (key_col, n_exact, n_total) — deterministic and exact by the
+    superset guarantee, however the input was partitioned. The verify
+    pass broadcasts the candidate set (<= k * n_partitions keys) so the
+    groupBy agg state is bounded by it; the n/k threshold compares in
+    INTEGER space (n_exact * k > n_total) — no float division."""
+    summary = mg_candidates(df, key_col, k)
+    cand = summary.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
+    totals = summary.filter(F.col(key_col).isNull()).agg(
+        F.coalesce(F.sum("mg_count"), F.lit(0)).alias("n_total")
+    )
+    exact = (
+        df.join(F.broadcast(cand), key_col)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .filter(F.col("n_exact") * k > F.col("n_total"))
+        .select(key_col, "n_exact", "n_total")
+    )

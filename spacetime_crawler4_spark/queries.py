@@ -7398,6 +7398,361 @@ FROM mem m JOIN direct USING (cluster_id) ORDER BY m.cluster_id
 """
 
 
+# --------------------------------------------------------------------------
+# session-13 staged queries: Misra-Gries heavy hitters, label-propagation
+# communities, sliding event windows, mojibake inject/detect/repair audit,
+# deterministic logistic-regression training
+# --------------------------------------------------------------------------
+
+MG_K = 30  # heavy-hitter threshold: keys with share > 1/30
+
+
+def q_sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact >n/30-frequency tokens via the Misra-Gries two-pass shape
+    (operators/sketch.mg_heavy_hitters): map-only <=k-counter summaries
+    per partition (mapInPandas, zero shuffle), candidate union, then one
+    exact-count pass whose agg state is bounded by the broadcast
+    candidate set instead of the vocabulary — the 100-TB alternative to
+    a full-vocab groupBy. The MG superset guarantee makes the final
+    output EXACT and partition-independent, so the oracle is plain SQL."""
+    from spacetime_crawler4_spark.operators.sketch import mg_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(sql_tokens(F.col("text"))).alias("token"))
+    return (
+        mg_heavy_hitters(toks, "token", MG_K)
+        .select(
+            "token",
+            "n_exact",
+            "n_total",
+            F.round(F.col("n_exact") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_exact"), "token")
+    )
+
+
+SQL_SKETCH_MG_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT {_DUCK_TOKS} AS ts FROM documents),
+tok AS (SELECT unnest(ts) AS token FROM toks),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT token, count(*) AS n_exact,
+       (SELECT n FROM tot) AS n_total,
+       round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+FROM tok GROUP BY token
+HAVING count(*) * {MG_K} > (SELECT n FROM tot)
+ORDER BY n_exact DESC, token
+"""
+
+
+LP_ITERS = 3
+LP_EDGE_MIN_PRICE = 480_000.0  # sparser slice of the trade graph
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation (operators/graph.
+    label_propagation) over the big-ticket slice of the trade graph:
+    after 3 rounds every node carries the smallest id within 3 hops, and
+    the query reports the resulting label census (label, n_members).
+    The static symmetrized edge list is materialized once and reused by
+    all rounds — one hash join + groupBy(min) per round, the
+    neighbor-step community primitive that beats pointer-jumping when
+    the graph is huge and shallow. The oracle unrolls the identical
+    3-round recurrence."""
+    from spacetime_crawler4_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("o_totalprice") > LP_EDGE_MIN_PRICE)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, iterations=LP_ITERS)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+    )
+
+
+def _sql_graph_label_propagation() -> str:
+    ctes = [
+        f"""e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > {LP_EDGE_MIN_PRICE})""",
+        """sym AS (SELECT src AS a, dst AS b FROM e
+       UNION SELECT dst, src FROM e)""",
+        "l0 AS (SELECT DISTINCT a AS id, a AS lab FROM sym)",
+    ]
+    for i in range(1, LP_ITERS + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS (SELECT id, min(lab) AS lab FROM (
+  SELECT id, lab FROM {p}
+  UNION ALL
+  SELECT s.b AS id, l.lab FROM sym s JOIN {p} l ON l.id = s.a
+) GROUP BY id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT lab AS label, count(*) AS n_members FROM l{LP_ITERS}
+GROUP BY lab ORDER BY n_members DESC, label"""
+    )
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event load: 4-hour windows every hour
+    (``F.window(ts, '4 hours', '1 hour')``) with event count, distinct
+    users, and value sum — the rate/alerting aggregation the streaming
+    plane computes with the same window expression under a watermark
+    (streaming/ingest.py). Each event lands in exactly 4 epoch-aligned
+    windows; the replication factor is the slide ratio, map-side, before
+    one groupBy — no self-join, no range join. The oracle derives the
+    same 4 window starts per event arithmetically."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "4 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+WITH wnd AS (SELECT ts, user_id, value,
+                    date_trunc('hour', ts) - to_hours(k.k) AS window_start
+             FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+SELECT window_start,
+       window_start + INTERVAL 4 HOUR AS window_end,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM wnd GROUP BY window_start ORDER BY window_start
+"""
+
+
+def q_text_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit (operators/encoding.py): a deterministic
+    md5-keyed 7% of docs get a known cp1252-mojibake phrase appended;
+    the JVM signature predicate then gates an Arrow-batched cp1252→utf-8
+    round-trip repair, and the per-source audit reports docs / injected
+    / detected / repaired-byte-exact. Map-only end to end; the oracle
+    re-derives the injected subset from the md5 key and verifies the
+    repair independently via string replacement."""
+    from spacetime_crawler4_spark.operators.encoding import moji_audit
+
+    return moji_audit(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_mojibake() -> str:
+    from spacetime_crawler4_spark.operators.encoding import (
+        MOJI_DAMAGED,
+        MOJI_PCT_BUCKETS,
+        MOJI_PHRASE,
+    )
+
+    sigs = " OR ".join(
+        f"position('{s}' IN damaged) > 0"
+        for s in ("Ã©", "Ã¯", "Ã¨", "Ã¼", "â€", "Â·")
+    )
+    return f"""
+WITH base AS (SELECT doc_id, source, text,
+       CAST('0x' || substr(md5('moji:' || CAST(doc_id AS VARCHAR)), 1, 6)
+            AS INTEGER) % 1000000 < {MOJI_PCT_BUCKETS} AS injected
+     FROM documents),
+d AS (SELECT source, text, injected,
+       CASE WHEN injected THEN text || ' {MOJI_DAMAGED}' ELSE text END
+           AS damaged
+      FROM base),
+f AS (SELECT source, injected, ({sigs}) AS detected, damaged, text FROM d)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN injected THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_injected,
+       CAST(sum(CASE WHEN detected THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_detected,
+       CAST(sum(CASE WHEN detected AND
+                replace(damaged, '{MOJI_DAMAGED}', '{MOJI_PHRASE}')
+                    = text || ' {MOJI_PHRASE}'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired_ok
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+LR_FEATURES = ("n_tok", "n_stop", "n_chars")
+# per-weight step sizes (bias first) — exact binary AND decimal literals,
+# the deterministic stand-in for feature normalization (the three integer
+# features differ ~50x in spread; see operators/classify.logreg_train_gd)
+LR_RATES = (0.25, 2**-10, 2**-6, 2**-13)
+LR_ITERS = 4
+
+
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sw = _stopwords()
+    tf = (
+        docs.select("doc_id", F.explode(sql_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.col("term").isin(sw).cast("long")).alias("n_stop"),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+        )
+        .join(tf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("n_stop", F.lit(0)).alias("n_stop"),
+            "n_chars",
+            "y",
+        )
+    )
+
+
+def q_classify_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-reproducible logistic-regression training (operators/classify.
+    logreg_train_gd): 2 full-batch GD iterations predicting lang='en'
+    from integer shape features (token count, stopword count, chars).
+    Features are centered by their exact integer means (one tiny
+    aggregate to the driver) so the bias can learn the class prior.
+    Each iteration is ONE map-side-combined aggregation producing d+1
+    numbers; gradients are summed in exact BIGINT space (fixed-point
+    sigmoid), so the learned weights are identical under any
+    partitioning/retry and in the oracle's unrolled four-iteration CTE.
+    Output: the fitted weights plus training accuracy of sign(w·x)."""
+    from spacetime_crawler4_spark.operators.classify import (
+        logreg_decision_col,
+        logreg_train_gd,
+    )
+
+    raw = _lr_features(spark, sf_dir).localCheckpoint(eager=True)
+    tot = raw.agg(
+        *[F.sum(c).alias(c) for c in LR_FEATURES], F.count("*").alias("n")
+    ).collect()[0]
+    means = {c: int(tot[c]) // int(tot["n"]) for c in LR_FEATURES}
+    feats = raw.select(
+        "doc_id",
+        *[(F.col(c) - F.lit(means[c])).alias(c) for c in LR_FEATURES],
+        "y",
+    ).localCheckpoint(eager=True)
+    w, _n = logreg_train_gd(
+        feats, list(LR_FEATURES), "y", LR_ITERS, list(LR_RATES)
+    )
+    z = logreg_decision_col(w, list(LR_FEATURES))
+    acc = feats.agg(
+        F.round(
+            F.avg(((z >= 0).cast("int") == F.col("y")).cast("double")), 6
+        ).alias("value")
+    ).select(F.lit("accuracy").alias("term"), "value")
+    weights = spark.createDataFrame(
+        [("bias",), ("w_n_tok",), ("w_n_stop",), ("w_n_chars",)], ["term"]
+    ).withColumn(
+        "value",
+        F.when(F.col("term") == "bias", F.round(F.lit(w[0]), 8))
+        .when(F.col("term") == "w_n_tok", F.round(F.lit(w[1]), 8))
+        .when(F.col("term") == "w_n_stop", F.round(F.lit(w[2]), 8))
+        .otherwise(F.round(F.lit(w[3]), 8)),
+    )
+    return weights.unionByName(acc).orderBy("term")
+
+
+def _sql_classify_lr() -> str:
+    sw_vals = ", ".join(
+        "('{}')".format(w.replace("'", "''")) for w in _stopwords()
+    )
+    scale = 1_000_000
+    feat = list(LR_FEATURES)
+    nw = len(feat) + 1
+    # step-size literals: repr() of the exact binary floats, CAST to
+    # DOUBLE (DuckDB parses bare numeric literals as DECIMAL — the
+    # session-11 rounding-divergence class)
+    lrs = [f"CAST({r!r} AS DOUBLE)" for r in LR_RATES]
+
+    def zexpr(wpfx: str) -> str:
+        z = f"{wpfx}_0"
+        for j, c in enumerate(feat):
+            z += f" + {wpfx}_{j + 1} * {c}"
+        return z
+
+    ctes = [
+        f"sw(w) AS (VALUES {sw_vals})",
+        f"tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)",
+        """tf AS (SELECT doc_id, count(*) AS n_tok,
+              CAST(sum(CASE WHEN term IN (SELECT w FROM sw) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_stop
+       FROM tok GROUP BY doc_id)""",
+        """feats0 AS (SELECT d.doc_id, coalesce(t.n_tok, 0) AS n_tok,
+                 coalesce(t.n_stop, 0) AS n_stop, d.n_chars,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents d LEFT JOIN tf t USING (doc_id))""",
+        "m AS (SELECT "
+        + ", ".join(f"sum({c}) // count(*) AS m_{c}" for c in feat)
+        + ", count(*) AS c FROM feats0)",
+        "feats AS (SELECT doc_id, "
+        + ", ".join(f"{c} - (SELECT m_{c} FROM m) AS {c}" for c in feat)
+        + ", y FROM feats0)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS DOUBLE) AS w0_{j}" for j in range(nw))
+        + ")",
+    ]
+    for i in range(1, LR_ITERS + 1):
+        p = f"w{i - 1}"
+        ctes.append(
+            f"z{i} AS (SELECT f.*, {zexpr(p)} AS z FROM feats f, {p})"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT *, CAST(floor({scale}.0 / (1.0 + exp(-z)) + 0.5)"
+            f" AS BIGINT) AS p6 FROM z{i})"
+        )
+        gterms = [f"sum(p6 - {scale} * y) AS g_0"] + [
+            f"sum((p6 - {scale} * y) * {c}) AS g_{j + 1}"
+            for j, c in enumerate(feat)
+        ]
+        ctes.append(f"g{i} AS (SELECT {', '.join(gterms)} FROM p{i})")
+        upd = ", ".join(
+            f"{p}_{j} - ({lrs[j]} * g_{j}) / (c * CAST({scale} AS DOUBLE))"
+            f" AS w{i}_{j}"
+            for j in range(nw)
+        )
+        ctes.append(f"w{i} AS (SELECT {upd} FROM g{i}, {p}, m)")
+    wf = f"w{LR_ITERS}"
+    ctes.append(
+        f"zf AS (SELECT f.*, {zexpr(wf)} AS z FROM feats f, {wf})"
+    )
+    ctes.append(
+        """acc AS (SELECT round(avg(CASE WHEN (CASE WHEN z >= 0 THEN 1 ELSE 0
+                     END) = y THEN 1.0 ELSE 0.0 END), 6) AS value FROM zf)"""
+    )
+    rows = ["SELECT 'accuracy' AS term, value FROM acc"] + [
+        f"SELECT '{t}', round({wf}_{j}, 8) FROM {wf}"
+        for j, t in enumerate(["bias", "w_n_tok", "w_n_stop", "w_n_chars"])
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(rows)
+        + "\nORDER BY term"
+    )
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -7523,6 +7878,20 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_text_langid_confusion,
             SQL_TEXT_LANGID_CONFUSION,
         ),
+        "sketch_mg_heavy_hitters": (
+            q_sketch_mg_heavy_hitters,
+            SQL_SKETCH_MG_HEAVY_HITTERS,
+        ),
+        "graph_label_propagation": (
+            q_graph_label_propagation,
+            _sql_graph_label_propagation(),
+        ),
+        "events_sliding_window": (
+            q_events_sliding_window,
+            SQL_EVENTS_SLIDING_WINDOW,
+        ),
+        "text_mojibake": (q_text_mojibake, _sql_text_mojibake()),
+        "classify_lr_weights": (q_classify_lr_weights, _sql_classify_lr()),
     }
 
 

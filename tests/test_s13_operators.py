@@ -1,0 +1,236 @@
+"""Session-13 operators: Misra-Gries heavy hitters, label propagation,
+mojibake detect/repair, deterministic logistic regression, sliding windows."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------------
+# Misra-Gries
+# ----------------------------------------------------------------------
+
+
+def test_mg_heavy_hitters_exact_vs_groupby(spark):
+    """On a zipf-ish stream split over many partitions with aggressive
+    per-partition pruning (k=5, 60 distinct keys), the MG two-pass result
+    equals the exact >n/k answer."""
+    from spacetime_crawler4_spark.operators.sketch import mg_heavy_hitters
+
+    rows = []
+    for i in range(60):
+        rows += [(f"k{i:02d}",)] * (1 if i >= 5 else 400 - 70 * i)
+    df = spark.createDataFrame(rows, ["key"]).repartition(16)
+    k = 5
+    got = {
+        (r["key"], r["n_exact"], r["n_total"])
+        for r in mg_heavy_hitters(df, "key", k).collect()
+    }
+    n = len(rows)
+    exact = {
+        (r["key"], r["cnt"], n)
+        for r in df.groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > n)
+        .collect()
+    }
+    assert got == exact and len(exact) >= 2
+
+
+def test_mg_candidates_bounded_and_guarantee(spark):
+    """The candidate union is small (<= k+1 rows incl. sentinel per
+    partition) and contains every key with count > n/k."""
+    from spacetime_crawler4_spark.operators.sketch import mg_candidates
+
+    rows = [("hot",)] * 5000 + [(f"c{i}", ) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(8)
+    k = 4
+    summ = mg_candidates(df, "key", k).collect()
+    per_part_bound = 8 * (k + 1)
+    assert len(summ) <= per_part_bound
+    cand = {r["key"] for r in summ if r["key"] is not None}
+    assert "hot" in cand  # 5000/7000 > 1/4
+    n_total = sum(r["mg_count"] for r in summ if r["key"] is None)
+    assert n_total == len(rows)
+
+
+def test_mg_empty_input(spark):
+    from spacetime_crawler4_spark.operators.sketch import mg_heavy_hitters
+
+    df = spark.createDataFrame([], "key string")
+    assert mg_heavy_hitters(df, "key", 3).collect() == []
+
+
+# ----------------------------------------------------------------------
+# label propagation
+# ----------------------------------------------------------------------
+
+
+def _lp(spark, edges, iters):
+    from spacetime_crawler4_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["id"]: r["label"] for r in label_propagation(df, iters).collect()
+    }
+
+
+def test_label_propagation_converges_to_component_min(spark):
+    edges = [("b", "c"), ("c", "d"), ("a", "b"), ("x", "y"), ("y", "z")]
+    labels = _lp(spark, edges, 4)
+    assert labels == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "z": "x",
+    }
+
+
+def test_label_propagation_intermediate_round_is_khop_min(spark):
+    """After exactly 1 round each node holds the min id within 1 hop —
+    the synchronous (Jacobi) semantics the oracle unrolls, not the
+    order-dependent asynchronous variant."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    labels = _lp(spark, edges, 1)
+    # d's 1-hop neighborhood is {c, d} -> 'c'; c's is {b,c,d} -> 'b'
+    assert labels == {"a": "a", "b": "a", "c": "b", "d": "c"}
+
+
+def test_label_propagation_parallel_edges_and_direction(spark):
+    """Symmetrization + min make the result independent of edge
+    direction and multiplicity."""
+    e1 = [("n2", "n1"), ("n2", "n1"), ("n1", "n2"), ("n3", "n2")]
+    e2 = [("n1", "n2"), ("n2", "n3")]
+    assert _lp(spark, e1, 3) == _lp(spark, e2, 3)
+
+
+# ----------------------------------------------------------------------
+# mojibake
+# ----------------------------------------------------------------------
+
+
+def test_repair_roundtrip_and_passthrough(spark):
+    from spacetime_crawler4_spark.operators.encoding import (
+        MOJI_DAMAGED,
+        MOJI_PHRASE,
+        repair_mojibake_udf,
+    )
+
+    rows = [
+        ("d1", "plain ascii stays"),          # no-op
+        ("d2", f"prefix {MOJI_DAMAGED} suffix"),  # repaired
+        ("d3", "Ãx broken not utf8"),         # roundtrip fails -> unchanged
+        ("d4", "已经 outside cp1252"),          # encode fails -> unchanged
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", repair_mojibake_udf(F.col("t")).alias("f")).collect()
+    }
+    assert got["d1"] == "plain ascii stays"
+    assert got["d2"] == f"prefix {MOJI_PHRASE} suffix"
+    assert got["d3"] == "Ãx broken not utf8"
+    assert got["d4"] == "已经 outside cp1252"
+
+
+def test_moji_audit_counts(spark):
+    from spacetime_crawler4_spark.operators.encoding import (
+        MOJI_PCT_BUCKETS,
+        moji_audit,
+    )
+    from spacetime_crawler4_spark.operators.sampling import sample_bucket
+
+    docs = spark.createDataFrame(
+        [(i, "s", "clean ascii text " * 3) for i in range(400)],
+        ["doc_id", "source", "text"],
+    )
+    out = moji_audit(docs).collect()
+    assert len(out) == 1
+    row = out[0]
+    expected_injected = docs.filter(
+        sample_bucket(F.col("doc_id"), "moji:") < MOJI_PCT_BUCKETS
+    ).count()
+    assert row["n_docs"] == 400
+    assert row["n_injected"] == expected_injected > 0
+    # detector fires on every injected doc and nothing else; repair is
+    # byte-exact on all of them
+    assert row["n_detected"] == expected_injected
+    assert row["n_repaired_ok"] == expected_injected
+
+
+# ----------------------------------------------------------------------
+# logistic regression
+# ----------------------------------------------------------------------
+
+
+def _np_logreg(X, y, lrs, iters):
+    n = len(y)
+    A = np.hstack([np.ones((n, 1)), X.astype(float)])
+    w = np.zeros(A.shape[1])
+    for _ in range(iters):
+        z = A @ w
+        p6 = np.floor(1e6 / (1 + np.exp(-z)) + 0.5)
+        g = A.T @ (p6 - 1e6 * y)
+        w = w - np.array(lrs) * g / (n * 1e6)
+    return w
+
+
+def test_logreg_matches_numpy_reference(spark):
+    from spacetime_crawler4_spark.operators.classify import logreg_train_gd
+
+    rng = np.random.RandomState(7)
+    X = rng.randint(-20, 21, size=(300, 2))
+    y = (X[:, 0] + 2 * X[:, 1] + rng.randint(-5, 6, 300) > 0).astype(int)
+    rows = [(int(a), int(b), int(t)) for (a, b), t in zip(X, y)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"]).repartition(8)
+    lrs = [0.5, 0.01, 0.01]
+    w, n = logreg_train_gd(df, ["x1", "x2"], "y", iterations=3, lr=lrs)
+    ref = _np_logreg(X, y.astype(float), lrs, 3)
+    assert n == 300
+    # bit-level agreement is expected (identical integer gradients +
+    # identical IEEE update arithmetic); allow 1e-12 for exp() ulps
+    assert np.allclose(w, ref, rtol=0, atol=1e-12)
+    # and the model actually separates this separable-ish data
+    A = np.hstack([np.ones((300, 1)), X.astype(float)])
+    assert (((A @ ref) >= 0) == y).mean() > 0.8
+
+
+def test_logreg_partitioning_invariance(spark):
+    from spacetime_crawler4_spark.operators.classify import logreg_train_gd
+
+    rows = [(i % 13 - 6, (i * 7) % 9 - 4, (i * 3) % 2) for i in range(500)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    w1, _ = logreg_train_gd(df.repartition(1), ["x1", "x2"], "y", 2, 0.01)
+    w32, _ = logreg_train_gd(df.repartition(32), ["x1", "x2"], "y", 2, 0.01)
+    assert w1 == w32  # exact, not approximate
+
+
+def test_logreg_empty_and_bad_lr(spark):
+    from spacetime_crawler4_spark.operators.classify import logreg_train_gd
+
+    empty = spark.createDataFrame([], "x1 long, y int")
+    w, n = logreg_train_gd(empty, ["x1"], "y", 2, 0.1)
+    assert (w, n) == ([0.0, 0.0], 0)
+    df = spark.createDataFrame([(1, 1)], ["x1", "y"])
+    with pytest.raises(ValueError):
+        logreg_train_gd(df, ["x1"], "y", 1, [0.1, 0.1, 0.1])
+
+
+# ----------------------------------------------------------------------
+# sliding windows
+# ----------------------------------------------------------------------
+
+
+def test_sliding_window_membership(spark):
+    """An event at 10:30 lands in exactly the 4 hourly-aligned 4h windows
+    [07:00..11:00) .. [10:00..14:00)."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1, 10, 30),)], ["ts"]
+    )
+    got = sorted(
+        r["w"]["start"].hour
+        for r in ev.groupBy(
+            F.window("ts", "4 hours", "1 hour").alias("w")
+        ).count().collect()
+    )
+    assert got == [7, 8, 9, 10]
