@@ -302,3 +302,63 @@ def mg_heavy_hitters(
         .filter(F.col("n_exact") * k > F.col("n_total"))
         .select(key_col, "n_exact", "n_total")
     )
+
+
+def hll_estimate_by(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group_col, hll_estimate) — one HLL per group, the mergeable-by-key
+    production shape (per-domain distinct URLs, per-source content
+    diversity). Registers shuffle ONCE on (group, bucket) with map-side
+    partial max — at most group_count * 256 rows reach the reduce side —
+    and each group's fold applies the identical correction branches as
+    the global ``hll_estimate``, so every estimate stays hash-exact
+    against the SQL mirror. Registers keyed by group also union across
+    corpus shards for free (max is associative/commutative), which is
+    what makes this the incremental per-key cardinality primitive."""
+    m = 16 ** HLL_HEX_CHARS
+    bucket, rho = hll_register_expr(F.col(key_col))
+    regs = (
+        df.select(group_col, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    alpha = _alpha(m)
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count("*").alias("nz"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nz")))
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("nz") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("nz"))),
+    ).otherwise(raw)
+    return agg.select(group_col, F.floor(est).cast("long").alias("hll_estimate"))
+
+
+def hll_group_sql(table_expr: str, group_sql: str, key_sql: str) -> str:
+    """DuckDB mirror of ``hll_estimate_by`` (same contract as hll_sql:
+    identical hash, registers, and correction branches per group)."""
+    m = 16 ** HLL_HEX_CHARS
+    nbits = 4 * HLL_RHO_HEX
+    alpha = _alpha(m)
+    return f"""
+WITH h AS (SELECT {group_sql} AS grp, md5(CAST({key_sql} AS VARCHAR)) AS hx
+           FROM {table_expr}),
+br AS (SELECT grp,
+              CAST(('0x' || substr(hx, 1, {HLL_HEX_CHARS})) AS INTEGER) AS bucket,
+              CAST(('0x' || substr(hx, {HLL_HEX_CHARS + 1}, {HLL_RHO_HEX})) AS BIGINT) AS tail
+       FROM h),
+regs AS (SELECT grp, bucket,
+                max(CASE WHEN tail = 0 THEN {nbits + 1}
+                    ELSE {nbits} - length(bin(tail)) + 1
+                    END) AS r
+         FROM br GROUP BY grp, bucket),
+agg AS (SELECT grp, sum(power(2.0, -r)) AS s, count(*) AS nz
+        FROM regs GROUP BY grp),
+est AS (SELECT grp, nz,
+               CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s + ({m} - nz)) AS raw
+        FROM agg)
+SELECT grp, CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND nz < {m}
+            THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / ({m} - nz))
+            ELSE raw END) AS BIGINT) AS hll_estimate
+FROM est
+"""

@@ -20,6 +20,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from importlib import resources as _res
 
+import math
+
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -7753,6 +7755,113 @@ def _sql_classify_lr() -> str:
     )
 
 
+def q_sketch_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content diversity: distinct word-3-gram cardinality per
+    source, estimated with one HLL PER GROUP (operators/sketch.
+    hll_estimate_by — the mergeable-by-key production shape: registers
+    shuffle once on (group, bucket) with map-side partial max, at most
+    groups*256 rows reduce-side, and group-keyed registers union across
+    corpus shards for free). Exact count and relative error reported
+    alongside; the md5-portable registers make every per-group estimate
+    hash-exact against the oracle."""
+    from spacetime_crawler4_spark.operators.sketch import hll_estimate_by
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "source", "text", n=3)
+    est = hll_estimate_by(sh, "id", "shingle")
+    exact = sh.groupBy("id").agg(F.count_distinct("shingle").alias("n_exact"))
+    return (
+        est.join(exact, "id")
+        .select(
+            F.col("id").alias("source"),
+            "n_exact",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_sketch_hll_per_source() -> str:
+    from spacetime_crawler4_spark.operators.sketch import hll_group_sql
+
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(3))
+    return f"""
+WITH toks AS (SELECT source, {_DUCK_TOKS} AS ts FROM documents),
+sh AS (SELECT source,
+              unnest(list_distinct([{gram} for i in range(1, len(ts) - 1)]))
+                  AS shingle
+       FROM toks),
+est AS (SELECT * FROM ({hll_group_sql("sh", "source", "shingle")}) hq),
+exact AS (SELECT source, count(DISTINCT shingle) AS n_exact
+          FROM sh GROUP BY source)
+SELECT e.grp AS source, x.n_exact, e.hll_estimate,
+       round(CAST(abs(e.hll_estimate - x.n_exact) AS DOUBLE) / x.n_exact, 6)
+           AS rel_err
+FROM est e JOIN exact x ON x.source = e.grp
+ORDER BY source
+"""
+
+
+QA_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+QA_ACC = 100  # percentile_approx accuracy -> rank error <= n/100 per summary
+
+
+def q_sketch_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs approximate quantiles of document length. The exact side
+    (``percentile``) interpolates identically in Spark and DuckDB (same
+    p*(n-1) linear rule — verified bit-identical), so exact values are
+    oracle-checked directly. The GK sketch side (``percentile_approx``)
+    can vary with partition layout, so what the query emits for it is
+    only the GUARANTEE audit: the sketch value's true rank (one
+    conditional count per q) must sit within the doubled merged-summary
+    bound 2n/accuracy + 1 of the target rank. At 100 TB the GK sketch is
+    the only affordable path (exact percentile is a global sort / full
+    count-map); this audit is what lets a pipeline trust it."""
+    docs = _t(spark, sf_dir, "documents")
+    qarr = F.array(*[F.lit(q) for q in QA_QS])
+    row = docs.agg(
+        F.percentile("n_chars", qarr).alias("ex"),
+        F.percentile_approx("n_chars", qarr, F.lit(QA_ACC)).alias("ap"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    ex, ap, n = row["ex"], row["ap"], row["n"]
+    ranks = docs.agg(
+        *[
+            F.sum((F.col("n_chars") <= int(ap[i])).cast("long")).alias(f"r{i}")
+            for i in range(len(QA_QS))
+        ]
+    ).collect()[0]
+    bound = 2 * n // QA_ACC + 1
+    out = None
+    for i, q in enumerate(QA_QS):
+        lo = int(math.floor(q * n)) - bound
+        hi = int(math.ceil(q * n)) + bound
+        within = bool(lo <= int(ranks[f"r{i}"]) <= hi)
+        rdf = spark.range(1).select(
+            F.lit(float(q)).alias("q"),
+            F.round(F.lit(float(ex[i])), 4).alias("exact_value"),
+            F.lit(int(n)).alias("n"),
+            F.lit(within).alias("approx_within_bound"),
+        )
+        out = rdf if out is None else out.unionByName(rdf)
+    return out.orderBy("q")
+
+
+def _sql_sketch_quantile_audit() -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({q!r} AS DOUBLE) AS q, "
+        f"round(quantile_cont(CAST(n_chars AS DOUBLE), {q!r}), 4) AS exact_value, "
+        f"count(*) AS n, TRUE AS approx_within_bound FROM documents"
+        for q in QA_QS
+    )
+    return rows + "\nORDER BY q"
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -7892,6 +8001,14 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         ),
         "text_mojibake": (q_text_mojibake, _sql_text_mojibake()),
         "classify_lr_weights": (q_classify_lr_weights, _sql_classify_lr()),
+        "sketch_hll_per_source": (
+            q_sketch_hll_per_source,
+            _sql_sketch_hll_per_source(),
+        ),
+        "sketch_quantile_audit": (
+            q_sketch_quantile_audit,
+            _sql_sketch_quantile_audit(),
+        ),
     }
 
 

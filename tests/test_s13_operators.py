@@ -234,3 +234,71 @@ def test_sliding_window_membership(spark):
         ).count().collect()
     )
     assert got == [7, 8, 9, 10]
+
+
+# ----------------------------------------------------------------------
+# grouped HLL
+# ----------------------------------------------------------------------
+
+
+def test_hll_estimate_by_matches_global_per_group(spark):
+    """Each group's estimate equals the global hll_estimate run on that
+    group alone — the register files are identical by construction."""
+    from spacetime_crawler4_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_by,
+    )
+
+    rows = [("g1", f"k{i}") for i in range(1000)] + [
+        ("g2", f"k{i % 40}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["g", "k"]).repartition(8)
+    grouped = {
+        r["g"]: r["hll_estimate"] for r in hll_estimate_by(df, "g", "k").collect()
+    }
+    for g in ("g1", "g2"):
+        solo = hll_estimate(df.filter(F.col("g") == g), "k").collect()[0][
+            "hll_estimate"
+        ]
+        assert grouped[g] == solo
+    # small group is in the linear-counting regime and lands near-exact
+    assert abs(grouped["g2"] - 40) <= 3
+
+
+def test_hll_registers_merge_across_shards(spark):
+    """Group-keyed registers union across shards: estimating over the
+    full frame == estimating over two halves is guaranteed by max()
+    associativity; check the by-group path is insensitive to shard
+    boundaries."""
+    from spacetime_crawler4_spark.operators.sketch import hll_estimate_by
+
+    rows = [("g", f"k{i}") for i in range(800)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    whole = hll_estimate_by(df, "g", "k").collect()[0]["hll_estimate"]
+    halves = df.filter(F.length("k") == 2).unionByName(
+        df.filter(F.length("k") != 2)
+    )
+    assert hll_estimate_by(halves, "g", "k").collect()[0]["hll_estimate"] == whole
+
+
+# ----------------------------------------------------------------------
+# quantile audit
+# ----------------------------------------------------------------------
+
+
+def test_quantile_audit_guarantee_holds(spark, tmp_path):
+    """The GK bound audit passes on a skewed synthetic documents table
+    at several partition layouts (the sketch value may move between
+    layouts — the guarantee must not)."""
+    from spacetime_crawler4_spark.queries import q_sketch_quantile_audit
+
+    rows = [(i, "t", "en", "s", (i * i) % 997 + 1) for i in range(3000)]
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).repartition(parts)
+        df.write.mode("overwrite").parquet(f"{tmp_path}/p{parts}/documents.parquet")
+        out = q_sketch_quantile_audit(spark, f"{tmp_path}/p{parts}").collect()
+        assert len(out) == 5
+        assert all(r["approx_within_bound"] for r in out)
+        assert all(r["n"] == 3000 for r in out)
