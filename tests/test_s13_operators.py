@@ -302,3 +302,49 @@ def test_quantile_audit_guarantee_holds(spark, tmp_path):
         assert len(out) == 5
         assert all(r["approx_within_bound"] for r in out)
         assert all(r["n"] == 3000 for r in out)
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """The same F.window(ts, '4 hours', '1 hour') aggregation over a file
+    STREAM (availableNow, complete mode) produces exactly the batch
+    query's windows — the claim behind calling events_sliding_window the
+    batch twin of the streaming watermark aggregation. (count(distinct)
+    is not streamable, so the twin compares counts and sums.)"""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2025, 3, 1) + dt.timedelta(minutes=17 * i), i % 7, float(i % 5))
+        for i in range(300)
+    ]
+    src = tmp_path / "ev"
+    spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"]).write.parquet(
+        str(src)
+    )
+    win = F.window("ts", "4 hours", "1 hour").alias("w")
+    agg = lambda df: (  # noqa: E731
+        df.groupBy(win)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        .select(F.col("w.start").alias("ws"), "n", "sv")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(str(src))
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName("slide_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["ws"]: (r["n"], r["sv"])
+        for r in spark.sql("select * from slide_stream").collect()
+    }
+    exp = {
+        r["ws"]: (r["n"], r["sv"])
+        for r in agg(spark.read.parquet(str(src))).collect()
+    }
+    assert got == exp and len(exp) > 20
