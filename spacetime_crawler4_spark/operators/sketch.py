@@ -286,8 +286,12 @@ def mg_heavy_hitters(
     superset guarantee, however the input was partitioned. The verify
     pass broadcasts the candidate set (<= k * n_partitions keys) so the
     groupBy agg state is bounded by it; the n/k threshold compares in
-    INTEGER space (n_exact * k > n_total) — no float division."""
-    summary = mg_candidates(df, key_col, k)
+    INTEGER space (n_exact * k > n_total) — no float division. The
+    summary frame is materialized once (it is tiny — k+1 rows per
+    partition) because both the candidate set and the total derive from
+    it; without the checkpoint each consumer re-runs the full MG scan
+    (the plan showed the MapInPandas stage duplicated)."""
+    summary = mg_candidates(df, key_col, k).localCheckpoint(eager=True)
     cand = summary.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
     totals = summary.filter(F.col(key_col).isNull()).agg(
         F.coalesce(F.sum("mg_count"), F.lit(0)).alias("n_total")
