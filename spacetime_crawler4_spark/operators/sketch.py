@@ -227,7 +227,16 @@ def cms_pairs_sql(key_sql: str, row: int) -> str:
 # shuffle), unions the per-partition summaries (<= k * n_partitions rows),
 # and then makes ONE more pass that exact-counts ONLY the candidate keys
 # via a broadcast semi-join — the reduce-side agg state is bounded by the
-# candidate set, not the vocabulary. Soundness (Misra-Gries 1982; merge
+# candidate set, not the vocabulary.
+#
+# Cost profile, measured (BASELINE.md session-13): on a single node the
+# JVM hash aggregate wins wall-clock (6.1 s vs 24.5 s on a 40M-token /
+# 2.8M-vocab stream) because the Arrow transfer into the per-partition
+# Python counters dominates; what MG buys is the reduce state — 26
+# candidate keys vs 2.8M groups there — i.e. the regime where the
+# vocabulary no longer fits executor memory. Prefer the plain groupBy
+# (or the JVM-side CMS twin above) until state size, not CPU, is the
+# binding constraint. Soundness (Misra-Gries 1982; merge
 # form Agarwal et al., "Mergeable Summaries", PODS'12): an MG(k) summary
 # undercounts any key by at most n_p/k, so a key with global count
 # > n/k = sum_p n_p/k must retain a positive counter in at least one
@@ -318,13 +327,43 @@ def hll_estimate_by(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     against the SQL mirror. Registers keyed by group also union across
     corpus shards for free (max is associative/commutative), which is
     what makes this the incremental per-key cardinality primitive."""
-    m = 16 ** HLL_HEX_CHARS
+    return hll_estimate_from_registers(
+        hll_registers_by(df, group_col, key_col), group_col
+    )
+
+
+def hll_registers_by(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group_col, bucket, r) — the per-group register file itself, the
+    PERSISTABLE sketch state: write it as a parquet/Iceberg state table
+    per ingest batch and a later batch's registers fold in with
+    ``hll_merge_registers`` without ever re-reading history. The exact
+    pattern of the crawl store's incremental seen-sketch
+    (functions/bloom.merge_blooms), applied to cardinality state."""
     bucket, rho = hll_register_expr(F.col(key_col))
-    regs = (
+    return (
         df.select(group_col, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def hll_merge_registers(
+    a: DataFrame, b: DataFrame, group_col: str
+) -> DataFrame:
+    """Union two register tables (max per (group, bucket)) — lossless:
+    estimating the merge equals estimating the concatenated inputs,
+    because max is associative/commutative/idempotent register-wise."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_col: str) -> DataFrame:
+    """Per-group estimate fold over a register table (see hll_estimate
+    for the correction-branch contract)."""
+    m = 16 ** HLL_HEX_CHARS
     alpha = _alpha(m)
     agg = regs.groupBy(group_col).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),

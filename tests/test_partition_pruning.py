@@ -1,0 +1,63 @@
+"""Partition-pruning runtime proof: the file-layout half of the Iceberg
+scale story (crawl/iceberg.py partition specs; the bucketed-join twin is
+tests/test_bucketed_join.py).
+
+At 100 TB the difference between scanning one `source=` directory and
+scanning the table is the whole query budget. Two checks here, one
+static and one UNFAKEABLE runtime one:
+
+- the executed scan must carry the predicate as a PartitionFilter (it
+  prunes at file listing, before any IO), and
+- a poison partition — its parquet file replaced by garbage bytes on
+  disk — must be invisible to a query whose filter prunes it, while a
+  full scan of the same table fails on it. Pruning either happened
+  physically or the garbage would have been read.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("pp") / "docs"
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 8).cast("string")).alias("source"),
+        (F.col("id") * 37 % 500).alias("n_chars"),
+    )
+    df.write.partitionBy("source").parquet(str(out))
+    return out
+
+
+def test_partition_filter_reaches_the_scan(spark, part_dir):
+    q = spark.read.parquet(str(part_dir)).filter(F.col("source") == "src3")
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "src3" in plan
+    # and the data predicate is NOT also a pushed data filter — source is
+    # a partition column, it must prune at listing, not row-group level
+    assert q.count() == 250
+
+
+def test_poison_partition_proves_physical_pruning(spark, part_dir):
+    poison = part_dir / "source=src5"
+    originals = sorted(poison.glob("*.parquet"))
+    assert originals
+    saved = [(p, p.read_bytes()) for p in originals]
+    try:
+        for p in originals:
+            p.write_bytes(b"this is not a parquet file")
+        pruned = (
+            spark.read.parquet(str(part_dir))
+            .filter(F.col("source") == "src2")
+            .agg(F.count("*").alias("n"))
+        )
+        # the pruned query never touches the poisoned directory
+        assert pruned.collect()[0]["n"] == 250
+        # whereas the unpruned scan must hit the garbage and fail
+        with pytest.raises(Exception):
+            spark.read.parquet(str(part_dir)).agg(F.sum("n_chars")).collect()
+    finally:
+        for p, b in saved:
+            p.write_bytes(b)

@@ -409,3 +409,40 @@ def test_repair_mojibake_idempotent_and_total(spark):
     # double-application may legitimately decode twice-encoded text
     # further, but must itself never fail and never produce NULL
     assert all(r["r2"] is not None for r in twice)
+
+
+def test_hll_register_state_roundtrip_and_merge(spark, tmp_path):
+    """The incremental-cardinality pattern end to end: batch A's
+    registers persist to parquet, batch B's registers merge in WITHOUT
+    re-reading batch A's raw rows, and the merged estimate is identical
+    to a from-scratch build over A ∪ B."""
+    from spacetime_crawler4_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers_by,
+    )
+
+    a = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(600)] + [("h", f"x{i}") for i in range(50)],
+        ["g", "k"],
+    )
+    b = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(300, 900)]  # overlaps A
+        + [("h", f"y{i}") for i in range(30)],
+        ["g", "k"],
+    )
+    state = tmp_path / "hll_state"
+    hll_registers_by(a, "g", "k").write.parquet(str(state))
+    merged = hll_merge_registers(
+        spark.read.parquet(str(state)), hll_registers_by(b, "g", "k"), "g"
+    )
+    got = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate_from_registers(merged, "g").collect()
+    }
+    want = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate_by(a.unionByName(b), "g", "k").collect()
+    }
+    assert got == want
