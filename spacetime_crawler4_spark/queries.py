@@ -7862,6 +7862,77 @@ def _sql_sketch_quantile_audit() -> str:
     return rows + "\nORDER BY q"
 
 
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): a pure filter-aggregate
+    whose entire predicate set — date range, discount band, quantity cap
+    — must reach the parquet scan as pushed filters, making it the
+    canonical pushdown/pruning benchmark: zero joins, one map-side
+    partial sum, and a 4-of-11-column ReadSchema (the three filter
+    columns + the measure; plan verified in PLANS.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+SQL_TPCH_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= CAST(0.04 AS DOUBLE) AND l_discount <= CAST(0.06 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (top unshipped-revenue orders, no shippriority
+    column in this schema): segment-filtered customer dim BROADCAST into
+    orders, fact⋈fact on orderkey, group on the reduced key set, top-10
+    via TakeOrderedAndProject — never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = "1997-06-01"
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(od.filter(F.col("o_orderdate") < cutoff), li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TPCH_UNSHIPPED_ORDERS = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -8008,6 +8079,14 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "sketch_quantile_audit": (
             q_sketch_quantile_audit,
             _sql_sketch_quantile_audit(),
+        ),
+        "tpch_forecast_revenue": (
+            q_tpch_forecast_revenue,
+            SQL_TPCH_FORECAST_REVENUE,
+        ),
+        "tpch_unshipped_orders": (
+            q_tpch_unshipped_orders,
+            SQL_TPCH_UNSHIPPED_ORDERS,
         ),
     }
 
