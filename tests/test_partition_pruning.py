@@ -61,3 +61,26 @@ def test_poison_partition_proves_physical_pruning(spark, part_dir):
     finally:
         for p, b in saved:
             p.write_bytes(b)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, part_dir):
+    """DPP: when the pruning predicate only exists on the DIM side of a
+    join, Spark must derive a runtime subquery that prunes the
+    partitioned fact's file listing. The executed fact scan carries a
+    dynamicpruning expression on the partition column — at 100 TB this
+    is what keeps a dim-filtered star join from scanning the whole
+    fact table even though the fact itself has no literal predicate."""
+    dim = spark.createDataFrame(
+        [("src1", "keep"), ("src6", "keep"), ("src2", "drop")],
+        ["source", "verdict"],
+    )
+    fact = spark.read.parquet(str(part_dir))
+    q = (
+        fact.join(dim.filter(F.col("verdict") == "keep"), "source")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = {r["source"]: r["n"] for r in q.collect()}
+    assert rows == {"src1": 250, "src6": 250}
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
