@@ -84,3 +84,40 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, part_dir):
     assert rows == {"src1": 250, "src6": 250}
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, part_dir):
+    """Metadata-only aggregation: under the DSv2 parquet reader with
+    aggregate pushdown on, COUNT/MIN/MAX with no data filters are
+    answered from parquet footer statistics — the scan node itself
+    carries the aggregate (PushedAggregation) and emits one row per
+    row-group instead of the data. At 100 TB this turns table-stat
+    queries from full scans into a footer walk. Values are checked
+    against the default (v1) reader's computed answer."""
+    flat = str(part_dir.parent / "flat")
+    spark.read.parquet(str(part_dir)).write.mode("overwrite").parquet(flat)
+
+    def stats():
+        df = spark.read.parquet(flat)
+        return df.agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+
+    expected = stats().collect()[0]
+    v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        q = stats()
+        got = q.collect()[0]
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan and "COUNT(*)" in plan
+        assert "MIN(n_chars)" in plan and "MAX(n_chars)" in plan
+        assert (got["n"], got["lo"], got["hi"]) == (
+            expected["n"], expected["lo"], expected["hi"],
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        spark.conf.set("spark.sql.sources.useV1SourceList", v1)
