@@ -7630,21 +7630,10 @@ def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_classify_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bit-reproducible logistic-regression training (operators/classify.
-    logreg_train_gd): 2 full-batch GD iterations predicting lang='en'
-    from integer shape features (token count, stopword count, chars).
-    Features are centered by their exact integer means (one tiny
-    aggregate to the driver) so the bias can learn the class prior.
-    Each iteration is ONE map-side-combined aggregation producing d+1
-    numbers; gradients are summed in exact BIGINT space (fixed-point
-    sigmoid), so the learned weights are identical under any
-    partitioning/retry and in the oracle's unrolled four-iteration CTE.
-    Output: the fitted weights plus training accuracy of sign(w·x)."""
-    from spacetime_crawler4_spark.operators.classify import (
-        logreg_decision_col,
-        logreg_train_gd,
-    )
+def _lr_fit(spark: SparkSession, sf_dir: str):
+    """Shared fit: centered integer features (exact integer means) + the
+    weights after LR_ITERS deterministic GD iterations."""
+    from spacetime_crawler4_spark.operators.classify import logreg_train_gd
 
     raw = _lr_features(spark, sf_dir).localCheckpoint(eager=True)
     tot = raw.agg(
@@ -7659,6 +7648,23 @@ def q_classify_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, _n = logreg_train_gd(
         feats, list(LR_FEATURES), "y", LR_ITERS, list(LR_RATES)
     )
+    return feats, w
+
+
+def q_classify_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-reproducible logistic-regression training (operators/classify.
+    logreg_train_gd): 2 full-batch GD iterations predicting lang='en'
+    from integer shape features (token count, stopword count, chars).
+    Features are centered by their exact integer means (one tiny
+    aggregate to the driver) so the bias can learn the class prior.
+    Each iteration is ONE map-side-combined aggregation producing d+1
+    numbers; gradients are summed in exact BIGINT space (fixed-point
+    sigmoid), so the learned weights are identical under any
+    partitioning/retry and in the oracle's unrolled four-iteration CTE.
+    Output: the fitted weights plus training accuracy of sign(w·x)."""
+    from spacetime_crawler4_spark.operators.classify import logreg_decision_col
+
+    feats, w = _lr_fit(spark, sf_dir)
     z = logreg_decision_col(w, list(LR_FEATURES))
     acc = feats.agg(
         F.round(
@@ -7677,7 +7683,30 @@ def q_classify_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weights.unionByName(acc).orderBy("term")
 
 
-def _sql_classify_lr() -> str:
+def q_classify_lr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply: the fitted LR of classify_lr_weights applied as a
+    per-document admission gate — (doc_id, score, admitted). The model
+    is d+1 driver floats folded back in as column literals, so applying
+    it is MAP-ONLY (no join, no broadcast table, survives any
+    partitioning); this is the shape a quality-classifier gate takes
+    inside the admission pipeline at 100 TB. The oracle re-derives the
+    identical weights through the unrolled training CTEs and scores
+    every doc with the same fixed-order dot product."""
+    from spacetime_crawler4_spark.operators.classify import logreg_decision_col
+
+    feats, w = _lr_fit(spark, sf_dir)
+    z = logreg_decision_col(w, list(LR_FEATURES))
+    return feats.select(
+        "doc_id",
+        F.round(z, 6).alias("score"),
+        (z >= 0).alias("admitted"),
+    ).orderBy("doc_id")
+
+
+def _classify_lr_cte_chain() -> tuple[list[str], str]:
+    """Shared oracle CTE chain: tokenize → features → integer-mean
+    centering → LR_ITERS unrolled GD iterations → zf (per-doc decision
+    value under the final weights). Returns (ctes, final_weights_cte)."""
     sw_vals = ", ".join(
         "('{}')".format(w.replace("'", "''")) for w in _stopwords()
     )
@@ -7740,10 +7769,15 @@ def _sql_classify_lr() -> str:
     ctes.append(
         f"zf AS (SELECT f.*, {zexpr(wf)} AS z FROM feats f, {wf})"
     )
-    ctes.append(
+    return ctes, wf
+
+
+def _sql_classify_lr() -> str:
+    ctes, wf = _classify_lr_cte_chain()
+    ctes = ctes + [
         """acc AS (SELECT round(avg(CASE WHEN (CASE WHEN z >= 0 THEN 1 ELSE 0
                      END) = y THEN 1.0 ELSE 0.0 END), 6) AS value FROM zf)"""
-    )
+    ]
     rows = ["SELECT 'accuracy' AS term, value FROM acc"] + [
         f"SELECT '{t}', round({wf}_{j}, 8) FROM {wf}"
         for j, t in enumerate(["bias", "w_n_tok", "w_n_stop", "w_n_chars"])
@@ -7752,6 +7786,15 @@ def _sql_classify_lr() -> str:
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL ".join(rows)
         + "\nORDER BY term"
+    )
+
+
+def _sql_classify_lr_gate() -> str:
+    ctes, _wf = _classify_lr_cte_chain()
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT doc_id, round(z, 6) AS score, z >= 0 AS admitted"
+        + "\nFROM zf ORDER BY doc_id"
     )
 
 
@@ -8088,6 +8131,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_tpch_unshipped_orders,
             SQL_TPCH_UNSHIPPED_ORDERS,
         ),
+        "classify_lr_gate": (q_classify_lr_gate, _sql_classify_lr_gate()),
     }
 
 
