@@ -443,3 +443,58 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def label_propagation_converged(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, int]:
+    """label_propagation run to CONVERGENCE: rounds stop when a sync
+    step changes no label (so the result is exact connected-component
+    minima without guessing the diameter). Each round adds one count()
+    action over the k-changed frame — the same stop-detection cost the
+    pointer-jumping CC operator pays — while keeping label prop's
+    static-edge-list plan. Returns (labels, rounds_run). Converges in
+    diameter rounds; ``max_iterations`` is a runaway backstop for
+    pathological path graphs, after which the current (still
+    deterministic) labels are returned."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels.select(F.col("id").alias("a"), "label"), "a")
+            .select(F.col("b").alias("id"), "label")
+        )
+        nxt = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        changed = (
+            nxt.join(
+                labels.select("id", F.col("label").alias("_prev")), "id"
+            )
+            .filter(F.col("label") != F.col("_prev"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels, rounds

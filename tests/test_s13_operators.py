@@ -446,3 +446,36 @@ def test_hll_register_state_roundtrip_and_merge(spark, tmp_path):
         for r in hll_estimate_by(a.unionByName(b), "g", "k").collect()
     }
     assert got == want
+
+
+def test_label_propagation_converged_stops_at_diameter(spark):
+    from spacetime_crawler4_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    # path a-b-c-d-e (diameter 4) + separate triangle
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels, rounds = label_propagation_converged(df)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+        "t1": "t1", "t2": "t1", "t3": "t1",
+    }
+    # path needs 4 propagation rounds + 1 no-change round to detect stop
+    assert rounds == 5
+
+
+def test_label_propagation_converged_backstop(spark):
+    from spacetime_crawler4_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(10)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    labels, rounds = label_propagation_converged(df, max_iterations=3)
+    assert rounds == 3  # backstop hit, still deterministic output
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got["n03"] == "n00"  # 3-hop min reached
+    assert got["n10"] == "n07"  # not yet the global min
