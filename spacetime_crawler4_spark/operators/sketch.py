@@ -405,3 +405,155 @@ SELECT grp, CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND nz < {m}
             ELSE raw END) AS BIGINT) AS hll_estimate
 FROM est
 """
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch — set-EXPRESSION cardinality
+# --------------------------------------------------------------------------
+#
+# HLL answers "how many distinct" for one stream; it cannot estimate an
+# INTERSECTION (register max loses the evidence). The KMV/theta sketch
+# (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007 "On synopses for
+# distinct-value estimation"; the Apache DataSketches theta family) keeps
+# the k smallest hash values per set instead: the k-th minimum theta
+# estimates density (union_est = (k-1)*H/theta), and because the kept
+# values are a uniform SAMPLE of the set below theta, two sketches
+# compose: the k smallest of (A_k union B_k) are the k smallest of
+# (A union B), and counting how many of them lie in both sketches gives
+# an unbiased Jaccard/intersection estimate — union, intersection, and
+# difference cardinality from two O(k) synopses, never re-reading data.
+#
+# Portability contract (same as the HLL/MinHash planes): the hash is the
+# first 12 hex chars of md5 as a 48-bit integer, all selection is
+# integer-exact (row_number over h), and the only floats are final
+# divisions — Spark and the DuckDB oracle produce bit-identical sketches
+# and therefore bit-identical estimates.
+
+KMV_K = 128
+KMV_HEX = 12  # 48-bit hash space
+KMV_H = 16 ** KMV_HEX
+
+
+def kmv_hashes(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(grp, h) — distinct 48-bit md5-prefix hash per (group, key).
+
+    One distinct-shuffle; at 100 TB this is the only pass over raw data
+    the whole set-algebra plane needs."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, KMV_HEX), 16, 10
+    ).cast("long")
+    return df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+
+
+def kmv_sketch(hashes: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(grp, h) keeping only each group's k smallest hashes — the
+    persistable sketch state (<= k rows per group; parquet/Iceberg it
+    like the HLL register files). Mergeable: union two sketch tables and
+    re-rank — the k smallest of concatenated k-minima are exactly the
+    k smallest of the concatenated sets below both thetas."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_pair_setops(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """All-pairs set algebra from the sketches ALONE: for every group
+    pair (grp_a < grp_b) estimate union / intersection / Jaccard.
+
+    Shape: the group list is tiny (it is the sketch's partition key), so
+    the pair frame is a broadcast cross of two distinct-group lists; the
+    merge is two bounded joins (<= k rows per group side) + one window
+    rank per pair. Nothing here touches the raw keyed data.
+
+    Estimator: with the pair's merged k smallest values (theta = the
+    k-th), union_est = (k-1)*H/theta; rho = |kept in BOTH sketches|;
+    jaccard_est = rho/n_kept; inter_est = jaccard_est * union_est.
+    If the merged sketch has fewer than k values, both input sketches
+    were exhaustive, the merge IS the union, and all three estimates
+    are exact by construction (union_est = n_kept, inter = rho)."""
+    from pyspark.sql.window import Window
+
+    a = sk.select(F.col("grp").alias("grp_a"), "h")
+    b = sk.select(F.col("grp").alias("grp_b"), "h")
+    pairs = (
+        a.select("grp_a")
+        .distinct()
+        .crossJoin(b.select("grp_b").distinct())
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    ma = pairs.join(a, "grp_a").select(
+        "grp_a", "grp_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    mb = pairs.join(b, "grp_b").select(
+        "grp_a", "grp_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        ma.unionByName(mb)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    kept = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = kept.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+    )
+    exact = F.col("n_kept") < k
+    union_est = F.when(exact, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(KMV_H)) / F.col("theta")
+    )
+    jacc_est = F.col("rho") / F.col("n_kept")
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "n_kept",
+        "rho",
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jacc_est * union_est, 6).alias("inter_est"),
+        F.round(jacc_est, 6).alias("jaccard_est"),
+    )
+
+
+def kmv_pair_sql(hash_table_expr: str, k: int = KMV_K) -> str:
+    """DuckDB mirror of kmv_sketch + kmv_pair_setops over a
+    (grp, h) hash table expression (same integer hash contract)."""
+    return f"""
+sk AS (SELECT grp, h FROM (
+         SELECT grp, h,
+                row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+         FROM {hash_table_expr}) WHERE rn <= {k}),
+prs AS (SELECT ga.grp AS grp_a, gb.grp AS grp_b
+        FROM (SELECT DISTINCT grp FROM sk) ga,
+             (SELECT DISTINCT grp FROM sk) gb
+        WHERE ga.grp < gb.grp),
+mg AS (SELECT grp_a, grp_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+       FROM (SELECT p.grp_a, p.grp_b, s.h, 1 AS in_a, 0 AS in_b
+             FROM prs p JOIN sk s ON s.grp = p.grp_a
+             UNION ALL
+             SELECT p.grp_a, p.grp_b, s.h, 0, 1
+             FROM prs p JOIN sk s ON s.grp = p.grp_b)
+       GROUP BY grp_a, grp_b, h),
+kept AS (SELECT * FROM (
+           SELECT grp_a, grp_b, h, in_a, in_b,
+                  row_number() OVER (PARTITION BY grp_a, grp_b
+                                     ORDER BY h) AS rn
+           FROM mg) WHERE rn <= {k}),
+ag AS (SELECT grp_a, grp_b, count(*) AS n_kept, max(h) AS theta,
+              sum(in_a * in_b) AS rho
+       FROM kept GROUP BY grp_a, grp_b),
+est AS (SELECT grp_a, grp_b, n_kept, rho,
+               CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST({float(k - 1)!r} AS DOUBLE)
+                         * CAST({float(KMV_H)!r} AS DOUBLE) / theta
+               END AS union_est,
+               CAST(rho AS DOUBLE) / n_kept AS jacc
+        FROM ag)
+"""

@@ -7976,6 +7976,109 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# KMV theta-sketch set algebra (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap from KMV/theta sketches
+    (operators/sketch.kmv_*): per source, the k=128 smallest 48-bit
+    md5 hashes of its distinct word-3-gram set form the sketch; every
+    source PAIR's union / intersection / Jaccard cardinality is then
+    estimated from the two sketches alone — the set-EXPRESSION
+    cardinality HLL cannot give (register max destroys intersection
+    evidence). Exact counterparts are computed alongside so the row
+    carries its own error audit.
+
+    Scale: the raw corpus is touched once (distinct-hash shuffle);
+    everything pairwise runs over <= k rows per group — at 100 TB the
+    sketches are a tiny persisted state table and cross-shard overlap
+    questions never re-scan data. Estimates are integer-exact in
+    selection and bit-portable (md5 prefix), so the oracle matches
+    hash-for-hash."""
+    from spacetime_crawler4_spark.operators.sketch import (
+        kmv_hashes,
+        kmv_pair_setops,
+        kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "source", "text", n=3).distinct()
+    est = kmv_pair_setops(kmv_sketch(kmv_hashes(sh, "id", "shingle")))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("grp_a"), F.col("b.id").alias("grp_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("grp_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("grp_b"), F.col("sz").alias("sz_b"))
+    return (
+        est.join(inter, ["grp_a", "grp_b"], "left")
+        .join(F.broadcast(sa), "grp_a")
+        .join(F.broadcast(sb), "grp_b")
+        .select(
+            F.col("grp_a").alias("source_a"),
+            F.col("grp_b").alias("source_b"),
+            "n_kept",
+            "rho",
+            "union_est",
+            "inter_est",
+            "jaccard_est",
+            (F.col("sz_a") + F.col("sz_b") - F.coalesce("n_inter", F.lit(0)))
+            .cast("long")
+            .alias("n_union"),
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _sql_sketch_kmv_setops() -> str:
+    from spacetime_crawler4_spark.operators.sketch import (
+        KMV_HEX,
+        kmv_pair_sql,
+    )
+
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(3))
+    return f"""
+WITH toks AS (SELECT source, {_DUCK_TOKS} AS ts FROM documents),
+shd AS (SELECT DISTINCT source AS grp,
+               unnest(list_distinct([{gram} for i in range(1, len(ts) - 1)]))
+                   AS shingle
+        FROM toks),
+hh AS (SELECT DISTINCT grp,
+              CAST(('0x' || substr(md5(shingle), 1, {KMV_HEX})) AS BIGINT)
+                  AS h
+       FROM shd),
+{kmv_pair_sql("hh")},
+sz AS (SELECT grp, count(*) AS sz FROM shd GROUP BY grp),
+itr AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_inter
+        FROM shd a JOIN shd b
+          ON a.shingle = b.shingle AND a.grp < b.grp
+        GROUP BY 1, 2)
+SELECT e.grp_a AS source_a, e.grp_b AS source_b, e.n_kept, e.rho,
+       round(e.union_est, 6) AS union_est,
+       round(e.jacc * e.union_est, 6) AS inter_est,
+       round(e.jacc, 6) AS jaccard_est,
+       CAST(za.sz + zb.sz - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter
+FROM est e
+LEFT JOIN itr i ON i.grp_a = e.grp_a AND i.grp_b = e.grp_b
+JOIN sz za ON za.grp = e.grp_a
+JOIN sz zb ON zb.grp = e.grp_b
+ORDER BY source_a, source_b
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -8132,6 +8235,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             SQL_TPCH_UNSHIPPED_ORDERS,
         ),
         "classify_lr_gate": (q_classify_lr_gate, _sql_classify_lr_gate()),
+        "sketch_kmv_setops": (q_sketch_kmv_setops, _sql_sketch_kmv_setops()),
     }
 
 
