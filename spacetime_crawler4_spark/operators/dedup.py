@@ -252,6 +252,147 @@ def minhash_lsh_pairs(
     )
 
 
+OPH_HEX = 12  # 48-bit hash space, same md5-prefix contract as KMV/HLL
+OPH_C = 16 ** OPH_HEX  # densification rotation offset (2^48)
+
+
+def oph_densified_mins(sh: DataFrame, k: int = 8) -> DataFrame:
+    """One-permutation MinHash (Li, Owen & Zhang NIPS'12) with rotation
+    densification (Shrivastava & Li ICML'14): ONE 48-bit md5 hash per
+    shingle, partitioned into k buckets by h mod k; the per-bucket
+    minimum is the signature slot, and an EMPTY bucket borrows the next
+    non-empty bucket's value circularly, offset by t*C per step so
+    borrowed slots collide only with identically-borrowed slots.
+
+    Output: (id, _v0.._v{k-1}) wide frame of densified BIGINT slots.
+
+    Why it exists next to ``minhash_signatures``: the classic k-hash
+    family computes k md5 digests PER SHINGLE (k× the hash work and k
+    aggregate expressions scanning every row); OPH computes ONE digest
+    and still yields k signature slots with the same collision law in
+    expectation. At 100-TB shingle volume the hash stage is the
+    dominant map-side cost, so this is the production signature path;
+    the k-hash twin stays as the audited reference plane. All
+    arithmetic is integer-exact (BIGINT min / + / %), hence the DuckDB
+    oracle reproduces signatures bit-for-bit."""
+    h = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("string")), 1, OPH_HEX), 16, 10
+    ).cast("long")
+    b = h % k
+    wide = sh.groupBy("id").agg(
+        *[
+            F.min(F.when(b == j, h)).alias(f"_m{j}")
+            for j in range(k)
+        ]
+    )
+    dens = [
+        F.coalesce(
+            *[
+                F.col(f"_m{(j + t) % k}") + F.lit(t * OPH_C).cast("long")
+                for t in range(k)
+            ]
+        ).alias(f"_v{j}")
+        for j in range(k)
+    ]
+    return wide.select("id", *dens)
+
+
+def oph_band_sigs(sh: DataFrame, k: int = 8, r: int = 2) -> DataFrame:
+    """(id, band_id, bsig) — banded AND/OR signatures over the densified
+    OPH slots (same banding law as ``minhash_band_sigs``; banding is a
+    pure projection over the one-pass wide aggregate)."""
+    wide = oph_densified_mins(sh, k)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"_v{bi * r + j}") for j in range(r)]
+                    )
+                ).alias("bsig"),
+            )
+            for bi in range(k // r)
+        ]
+    )
+    return wide.select("id", F.explode(bands).alias("b")).select(
+        "id", "b.band_id", "b.bsig"
+    )
+
+
+def oph_lsh_pairs(
+    sh: DataFrame, k: int = 8, r: int = 2, min_jaccard: float = 0.5
+) -> DataFrame:
+    """OPH-banded candidate pairs verified by exact Jaccard — the
+    one-hash-pass production twin of ``minhash_lsh_pairs`` (identical
+    downstream plan: bucket self-join on (band_id, bsig), exact verify
+    restricted to candidates, broadcast size join)."""
+    sh = sh.localCheckpoint(eager=True)
+    bands = oph_band_sigs(sh, k, r).localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sha, cand.id_a == F.col("sa.id"))
+        .join(
+            shb,
+            (cand.id_b == F.col("sb.id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def lsh_onepass_removals(bands: DataFrame) -> DataFrame:
+    """Single-round LSH dedup election: (id, master) for every document
+    that shares ANY band bucket with a lower id — no iterative
+    connected-components closure. ``master`` is the smallest such
+    bucket-minimum (deterministic).
+
+    The 100-TB admission fast path: the CC election
+    (``connected_components``) is exact but costs O(log n) shuffle
+    rounds over the pair graph; this is ONE groupBy + ONE join. The
+    trade: a chain a~b~c (where a,c never share a bucket) removes both
+    b and c here with master a and b respectively — same removal SET as
+    CC whenever every cluster is bucket-connected through its minimum,
+    which near-dup families overwhelmingly are (banding puts true
+    near-dups in shared buckets directly). Admission pipelines that
+    only need keep/remove — not cluster identity — take this path."""
+    mins = bands.groupBy("band_id", "bsig").agg(F.min("id").alias("bmin"))
+    return (
+        bands.join(mins, ["band_id", "bsig"])
+        .filter(F.col("bmin") < F.col("id"))
+        .groupBy("id")
+        .agg(F.min("bmin").alias("master"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

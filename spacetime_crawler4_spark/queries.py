@@ -37,6 +37,7 @@ from spacetime_crawler4_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    oph_lsh_pairs,
     simhash_docs,
     simhash_near_pairs,
     sql_tokens,
@@ -7977,6 +7978,122 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# One-permutation MinHash + single-round LSH election (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via ONE-PERMUTATION MinHash (operators/dedup.
+    oph_lsh_pairs): one 48-bit md5 hash per shingle partitioned into
+    k=8 buckets, rotation-densified empty slots, banded 4×2, exact
+    Jaccard verify ≥ 0.5 — the same collision law as dedup_minhash_lsh
+    with 1/k the hash work (the dominant map-side cost at 100-TB
+    shingle volume). Signatures are integer-exact BIGINT arithmetic,
+    so the oracle reproduces them bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    return oph_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5).orderBy("id_a", "id_b")
+
+
+def _sql_dedup_oph_pairs() -> str:
+    from spacetime_crawler4_spark.operators.dedup import OPH_C, OPH_HEX
+
+    k, r = 8, 2
+    mins = ",\n       ".join(
+        f"min(CASE WHEN h % {k} = {j} THEN h END) AS m{j}" for j in range(k)
+    )
+    dens = ",\n       ".join(
+        "coalesce("
+        + ", ".join(
+            f"m{(j + t) % k}" + (f" + {t * OPH_C}" if t else "")
+            for t in range(k)
+        )
+        + f") AS v{j}"
+        for j in range(k)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT id, {bi} AS band_id, "
+        f"md5(CAST(v{bi * r} AS VARCHAR) || '|' || "
+        f"CAST(v{bi * r + 1} AS VARCHAR)) AS bsig FROM dens"
+        for bi in range(k // r)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    for i in range(1, len(ts) - 1)])) AS shingle
+       FROM toks),
+hh AS (SELECT id, CAST(('0x' || substr(md5(shingle), 1, {OPH_HEX})) AS BIGINT)
+              AS h
+       FROM sh),
+wide AS (SELECT id,
+       {mins}
+       FROM hh GROUP BY id),
+dens AS (SELECT id,
+       {dens}
+       FROM wide),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.id < b.id),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.id = c.id_a
+          JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_lsh_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-round LSH dedup election (operators/dedup.
+    lsh_onepass_removals): a document is removed iff it shares ANY
+    minhash band bucket with a lower doc_id; master = the smallest such
+    bucket minimum. ONE groupBy + ONE join — no iterative
+    connected-components closure — the keep/remove fast path a 100-TB
+    admission wave takes when cluster identity is not needed. Runs over
+    the same 4×2 banded k=8 signatures as dedup_minhash_lsh, so its
+    removal set is directly comparable to the CC election's."""
+    from spacetime_crawler4_spark.operators.dedup import (
+        lsh_onepass_removals,
+        minhash_band_sigs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    bands = minhash_band_sigs(sh, k=8, r=2)
+    return lsh_onepass_removals(bands).orderBy("id")
+
+
+SQL_DEDUP_LSH_ONEPASS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    for i in range(1, len(ts) - 1)])) AS shingle
+       FROM toks),
+sig AS (SELECT id, band,
+               min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+        GROUP BY id, band),
+bands AS (SELECT id, CAST(band // 2 AS INTEGER) AS band_id,
+                 md5(string_agg(sig, '|' ORDER BY band)) AS bsig
+          FROM sig GROUP BY id, band // 2),
+mins AS (SELECT band_id, bsig, min(id) AS bmin
+         FROM bands GROUP BY band_id, bsig)
+SELECT b.id, min(m.bmin) AS master
+FROM bands b JOIN mins m
+  ON m.band_id = b.band_id AND m.bsig = b.bsig
+WHERE m.bmin < b.id
+GROUP BY b.id
+ORDER BY id
+"""
+
+
+# --------------------------------------------------------------------------
 # KMV theta-sketch set algebra (session 14)
 # --------------------------------------------------------------------------
 
@@ -8236,6 +8353,8 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         ),
         "classify_lr_gate": (q_classify_lr_gate, _sql_classify_lr_gate()),
         "sketch_kmv_setops": (q_sketch_kmv_setops, _sql_sketch_kmv_setops()),
+        "dedup_oph_pairs": (q_dedup_oph_pairs, _sql_dedup_oph_pairs()),
+        "dedup_lsh_onepass": (q_dedup_lsh_onepass, SQL_DEDUP_LSH_ONEPASS),
     }
 
 

@@ -99,3 +99,113 @@ def test_kmv_pair_partition_invariance(spark):
     r1 = kmv_pair_setops(kmv_sketch(kmv_hashes(df1, "grp", "key"))).collect()
     r2 = kmv_pair_setops(kmv_sketch(kmv_hashes(df2, "grp", "key"))).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+# ----------------------------------------------------------------------
+# One-permutation MinHash + one-pass LSH election
+# ----------------------------------------------------------------------
+
+
+def _py_oph(shingles, k=8):
+    """Independent re-derivation of the densified OPH slots."""
+    import hashlib
+
+    C = 16 ** 12
+    mins = [None] * k
+    for s in shingles:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+        b = h % k
+        if mins[b] is None or h < mins[b]:
+            mins[b] = h
+    out = []
+    for j in range(k):
+        for t in range(k):
+            m = mins[(j + t) % k]
+            if m is not None:
+                out.append(m + t * C)
+                break
+        else:
+            out.append(None)
+    return out
+
+
+def test_oph_densified_mins_match_python(spark):
+    """Spark's integer-exact OPH slots equal a pure-python rederivation,
+    including densified (borrowed) slots for sparse shingle sets."""
+    from spacetime_crawler4_spark.operators.dedup import oph_densified_mins
+
+    docs = {
+        "d1": ["alpha beta gamma", "beta gamma delta", "x y z"],
+        "d2": ["q"],  # single shingle: 7 of 8 buckets densified
+        "d3": [f"sh{i} a b" for i in range(50)],
+    }
+    rows = [(d, s) for d, ss in docs.items() for s in ss]
+    sh = spark.createDataFrame(rows, ["id", "shingle"])
+    got = {
+        r["id"]: [r[f"_v{j}"] for j in range(8)]
+        for r in oph_densified_mins(sh, k=8).collect()
+    }
+    for d, ss in docs.items():
+        assert got[d] == _py_oph(set(ss), 8), d
+
+
+def test_oph_pairs_catch_planted_neardup(spark):
+    """A planted near-identical pair (J >= 0.8) surfaces through the
+    OPH-banded plan with its exact Jaccard."""
+    from spacetime_crawler4_spark.operators.dedup import (
+        oph_lsh_pairs,
+        word_shingles,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base + " extra"
+    noise = [" ".join(f"n{d}w{i}" for i in range(40)) for d in range(10)]
+    rows = [("a", base), ("b", near)] + [
+        (f"z{d}", t) for d, t in enumerate(noise)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    got = oph_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert ("a", "b") in pairs and len(pairs) == 1
+
+
+def test_lsh_onepass_subset_of_cc_removals(spark):
+    """Every one-pass removal is also a CC removal (sharing a bucket with
+    a smaller id puts a smaller id in your component), and on directly
+    bucket-connected families the two removal SETS coincide."""
+    from spacetime_crawler4_spark.operators.dedup import (
+        connected_components,
+        lsh_onepass_removals,
+        minhash_band_sigs,
+        word_shingles,
+    )
+
+    tmpl = " ".join(f"w{i}" for i in range(50))
+    rows = [("a1", tmpl), ("a2", tmpl + " x"), ("a3", tmpl + " y")] + [
+        (f"u{d}", " ".join(f"d{d}t{i}" for i in range(30))) for d in range(8)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    bands = minhash_band_sigs(sh, k=8, r=2)
+    onepass = {
+        (r["id"], r["master"]) for r in lsh_onepass_removals(bands).collect()
+    }
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    cc_removed = {
+        r["id"] for r in cc.filter(F.col("id") != F.col("cluster_id")).collect()
+    }
+    assert {i for i, _ in onepass} <= cc_removed
+    assert {i for i, _ in onepass} == {"a2", "a3"}
+    assert dict(onepass) == {"a2": "a1", "a3": "a1"}
