@@ -498,3 +498,85 @@ def label_propagation_converged(
         if changed == 0:
             break
     return labels, rounds
+
+
+def opic(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, importance, cash) — OPIC, Adaptive On-line Page Importance
+    Computation (Abiteboul, Preda & Cobena, WWW 2003), batch-synchronous
+    form: every node starts with cash 1/N; each round a node distributes
+    its cash equally over its out-links (dangling cash is re-spread
+    uniformly — the paper's virtual node) and banks what it held into
+    its history. importance = (history + cash) / (rounds + 1), i.e. the
+    running average of the cash vectors, which converges to the same
+    stationary vector as undamped PageRank but is creditable ONLINE:
+    a crawler can update one page's cash at fetch time without a global
+    iteration, which is why OPIC is the classic frontier-prioritization
+    score for crawls that cannot afford synchronous PageRank sweeps.
+    This batch form is the auditable fixed-round twin the oracle unrolls.
+
+    Scale shape: identical to ``pagerank`` — the weighted edge list is
+    checkpointed once and shuffled once per round; the cash/history
+    vector is node-sized; the dangling mass is a 1-row broadcast.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    we = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        we.select(F.col("src").alias("id"))
+        .unionByName(we.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    flagged = (
+        nodes.join(
+            we.select(F.col("src").alias("id")).distinct().withColumn(
+                "has_out", F.lit(True)
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        .localCheckpoint(eager=True)
+    )
+    n = flagged.count()
+    state = flagged.select(
+        "id", "has_out", F.lit(1.0 / n).alias("c"), F.lit(0.0).alias("h")
+    )
+    for _ in range(iterations):
+        dang = state.filter(~F.col("has_out")).agg(
+            F.coalesce(F.sum("c"), F.lit(0.0)).alias("dang")
+        )
+        contrib = (
+            we.join(state.select(F.col("id").alias("src"), "c"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("c")).alias("acc"))
+        )
+        state = (
+            state.select("id", "has_out", (F.col("h") + F.col("c")).alias("h"))
+            .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                "has_out",
+                "h",
+                (
+                    F.coalesce(F.col("acc"), F.lit(0.0))
+                    + F.col("dang") / F.lit(float(n))
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    k = float(iterations + 1)
+    return state.select(
+        "id",
+        ((F.col("h") + F.col("c")) / F.lit(k)).alias("importance"),
+        F.col("c").alias("cash"),
+    )

@@ -7978,6 +7978,85 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# OPIC adaptive page importance (session 14)
+# --------------------------------------------------------------------------
+
+OPIC_ITERS = 3
+
+
+def q_crawl_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC page importance (Abiteboul, Preda & Cobena, WWW 2003) over
+    the committed crawl link graph (operators/graph.opic): cash starts
+    uniform, flows along out-links each round (dangling cash re-spread
+    uniformly), and importance is the running average of cash held —
+    the classic frontier-prioritization score for crawlers that cannot
+    afford synchronous PageRank sweeps, since cash updates are
+    creditable per-fetch online. The batch-synchronous form here is
+    unrolled round-for-round by the oracle.
+
+    Scale: one edge shuffle per round, node-sized cash vector, 1-row
+    dangling broadcast — identical shape to graph_pagerank."""
+    from spacetime_crawler4_spark.operators.graph import opic
+
+    lk = _crawl_links(spark)
+    edges = lk.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    ).distinct()
+    return (
+        opic(edges, iterations=OPIC_ITERS)
+        .select(
+            F.col("id").alias("url"),
+            F.round("importance", 6).alias("importance"),
+            F.round("cash", 6).alias("cash"),
+        )
+        .orderBy(F.desc("importance"), "url")
+    )
+
+
+def _sql_crawl_opic_importance() -> str:
+    """The cash recurrence unrolled as chained CTEs; importance is the
+    left-to-right average (c0 + ... + cR)/(R+1), matching the engine's
+    incremental history accumulation addition-for-addition."""
+    n = "(SELECT count(*) FROM nodes)"
+    ctes = [
+        f"""lk AS (SELECT * FROM '{_CRAWL_LINKS_PARQUET}'),
+e AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM lk),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+we AS (SELECT src, dst, 1.0 / od AS w FROM e JOIN outdeg USING (src)),
+c0 AS (SELECT id, 1.0 / {n} AS c FROM nodes)"""
+    ]
+    for i in range(1, OPIC_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS (
+  SELECT nn.id,
+         coalesce(cb.acc, 0.0)
+         + (SELECT coalesce(sum(c), 0.0) FROM c{p}
+            WHERE id NOT IN (SELECT src FROM outdeg)) / {n} AS c
+  FROM nodes nn LEFT JOIN
+       (SELECT dst AS id, sum(w * c) AS acc
+        FROM we JOIN c{p} ON c{p}.id = we.src GROUP BY dst) cb
+  USING (id))"""
+        )
+    chain = " + ".join(f"c{i}.c" for i in range(OPIC_ITERS + 1))
+    joins = "\n".join(
+        f"JOIN c{i} ON c{i}.id = c0.id" for i in range(1, OPIC_ITERS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT c0.id AS url,
+       round(({chain}) / {float(OPIC_ITERS + 1)!r}, 6) AS importance,
+       round(c{OPIC_ITERS}.c, 6) AS cash
+FROM c0
+{joins}
+ORDER BY importance DESC, url"""
+    )
+
+
+# --------------------------------------------------------------------------
 # One-permutation MinHash + single-round LSH election (session 14)
 # --------------------------------------------------------------------------
 
@@ -8355,6 +8434,10 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "sketch_kmv_setops": (q_sketch_kmv_setops, _sql_sketch_kmv_setops()),
         "dedup_oph_pairs": (q_dedup_oph_pairs, _sql_dedup_oph_pairs()),
         "dedup_lsh_onepass": (q_dedup_lsh_onepass, SQL_DEDUP_LSH_ONEPASS),
+        "crawl_opic_importance": (
+            q_crawl_opic_importance,
+            _sql_crawl_opic_importance(),
+        ),
     }
 
 

@@ -209,3 +209,59 @@ def test_lsh_onepass_subset_of_cc_removals(spark):
     assert {i for i, _ in onepass} <= cc_removed
     assert {i for i, _ in onepass} == {"a2", "a3"}
     assert dict(onepass) == {"a2": "a1", "a3": "a1"}
+
+
+# ----------------------------------------------------------------------
+# OPIC
+# ----------------------------------------------------------------------
+
+
+def _py_opic(edges, iterations=3):
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    c = {v: 1.0 / n for v in nodes}
+    h = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        dang = sum(c[v] for v in nodes if v not in out)
+        nc = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            nc[d] += c[s] / out[s]
+        for v in nodes:
+            h[v] += c[v]
+            nc[v] += dang / n
+        c = nc
+    k = iterations + 1
+    return {v: (h[v] + c[v]) / k for v in nodes}, c
+
+
+def test_opic_matches_python_and_conserves_cash(spark):
+    from spacetime_crawler4_spark.operators.graph import opic
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("e", "d"),  # e -> d -> c; f dangling via c? no: add sink
+        ("a", "f"),  # f has no out-edges (dangling)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: (r["importance"], r["cash"]) for r in opic(df, 3).collect()}
+    imp, cash = _py_opic(edges, 3)
+    assert set(got) == set(imp)
+    for v in imp:
+        assert abs(got[v][0] - imp[v]) < 1e-12, v
+        assert abs(got[v][1] - cash[v]) < 1e-12, v
+    # cash conservation: importance is an average of unit cash vectors
+    assert abs(sum(g[0] for g in got.values()) - 1.0) < 1e-9
+    assert abs(sum(g[1] for g in got.values()) - 1.0) < 1e-9
+
+
+def test_opic_importance_favors_link_targets(spark):
+    """A node every other node links to accumulates the most cash."""
+    from spacetime_crawler4_spark.operators.graph import opic
+
+    edges = [(f"u{i}", "hub") for i in range(6)] + [("hub", "u0")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = {r["id"]: r["importance"] for r in opic(df, 4).collect()}
+    assert rows["hub"] == max(rows.values())
