@@ -7978,6 +7978,65 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Sliding-window HLL cardinality (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding 4h/1h window estimated with one HLL
+    PER WINDOW (operators/sketch.hll_estimate_by keyed by window start):
+    the composition a streaming dashboard actually runs — map-side 4×
+    window replication, then registers shuffle once on (window, bucket)
+    with partial max. Because registers merge by max, per-micro-batch
+    register state folds into the same answer (the
+    hll_merge_registers contract), which is what makes this the
+    watermark-friendly cardinality path; exact countDistinct per window
+    and the relative error ride along as the audit."""
+    from spacetime_crawler4_spark.operators.sketch import hll_estimate_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.window("ts", "4 hours", "1 hour").alias("w"), "user_id"
+    ).select(F.col("w.start").alias("window_start"), "user_id")
+    est = hll_estimate_by(base, "window_start", "user_id")
+    exact = base.groupBy("window_start").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "window_start")
+        .select(
+            "window_start",
+            "n_exact",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("window_start")
+    )
+
+
+def _sql_events_sliding_distinct() -> str:
+    from spacetime_crawler4_spark.operators.sketch import hll_group_sql
+
+    return f"""
+WITH wnd AS (SELECT date_trunc('hour', ts) - to_hours(k.k) AS window_start,
+                    user_id
+             FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k),
+est AS (SELECT * FROM ({hll_group_sql("wnd", "window_start", "user_id")}) hq),
+exact AS (SELECT window_start, count(DISTINCT user_id) AS n_exact
+          FROM wnd GROUP BY window_start)
+SELECT x.window_start, x.n_exact, e.hll_estimate,
+       round(CAST(abs(e.hll_estimate - x.n_exact) AS DOUBLE) / x.n_exact, 6)
+           AS rel_err
+FROM est e JOIN exact x ON x.window_start = e.grp
+ORDER BY x.window_start
+"""
+
+
+# --------------------------------------------------------------------------
 # OPIC adaptive page importance (session 14)
 # --------------------------------------------------------------------------
 
@@ -8437,6 +8496,10 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "crawl_opic_importance": (
             q_crawl_opic_importance,
             _sql_crawl_opic_importance(),
+        ),
+        "events_sliding_distinct": (
+            q_events_sliding_distinct,
+            _sql_events_sliding_distinct(),
         ),
     }
 

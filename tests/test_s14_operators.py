@@ -265,3 +265,36 @@ def test_opic_importance_favors_link_targets(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     rows = {r["id"]: r["importance"] for r in opic(df, 4).collect()}
     assert rows["hub"] == max(rows.values())
+
+
+def test_window_hll_registers_fold_across_batches(spark):
+    """Per-micro-batch window-keyed HLL register state folds (max-merge)
+    into exactly the whole-input per-window estimate — the property that
+    lets the sliding-window cardinality run under a streaming trigger
+    without re-reading history."""
+    from spacetime_crawler4_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers_by,
+    )
+
+    rows = [(f"w{i % 5}", f"u{i % 97}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["window_start", "user_id"])
+    b1, b2 = df.filter(F.md5("user_id").startswith("a")), df.filter(
+        ~F.md5("user_id").startswith("a")
+    )
+    merged = hll_merge_registers(
+        hll_registers_by(b1, "window_start", "user_id"),
+        hll_registers_by(b2, "window_start", "user_id"),
+        "window_start",
+    )
+    got = {
+        (r["window_start"], r["hll_estimate"])
+        for r in hll_estimate_from_registers(merged, "window_start").collect()
+    }
+    want = {
+        (r["window_start"], r["hll_estimate"])
+        for r in hll_estimate_by(df, "window_start", "user_id").collect()
+    }
+    assert got == want
