@@ -7978,6 +7978,225 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Reciprocal-rank fusion; TPC-H Q21 shape; windowed top-k (session 14)
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 20
+
+
+def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of the BM25 and tf-idf top-20 lists for the shared query bag:
+    rrf(d) = Σ_lists 1/(60 + rank_d). RRF is the standard way a search
+    plane combines heterogeneous scorers (lexical+semantic) without
+    score calibration — only ranks cross the boundary, so each ranker
+    keeps its own scale. Ranks come from the committed top-20 queries
+    (scores rounded to 6 first, ties broken by doc_id) so fusion is
+    deterministic and the oracle reproduces rank-for-rank."""
+    from pyspark.sql.window import Window
+    from spacetime_crawler4_spark.operators.ranking import (
+        bm25_scores,
+        tfidf_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = (
+        bm25_scores(docs, _RANK_TERMS)
+        .withColumn("bm25", F.round("bm25", 6))
+        .withColumn(
+            "rank_bm25",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rank_bm25") <= RRF_TOP)
+        .select("doc_id", "rank_bm25")
+    )
+    tf = (
+        tfidf_scores(docs, _RANK_TERMS)
+        .withColumn("tfidf", F.round("tfidf", 6))
+        .withColumn(
+            "rank_tfidf",
+            F.row_number().over(
+                Window.orderBy(F.desc("tfidf"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rank_tfidf") <= RRF_TOP)
+        .select("doc_id", "rank_tfidf")
+    )
+    return (
+        bm.join(tf, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm25")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_tfidf")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf"),
+            "rank_bm25",
+            "rank_tfidf",
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+    )
+
+
+SQL_SEARCH_RRF_FUSION = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (SELECT doc_id,
+              round(sum(ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5))
+                        * (tf * 2.2)
+                        / (tf + 1.2 * (1 - 0.75 + 0.75 * (dl / avgdl)))), 6)
+                  AS bm25
+       FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+       CROSS JOIN stats
+       GROUP BY doc_id),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+        FROM bm QUALIFY rank_bm25 <= {RRF_TOP}),
+ti AS (SELECT doc_id,
+              round(sum((1 + ln(tf)) * ln(n.n_docs / (1 + df))), 6) AS tfidf
+       FROM tf JOIN dfreq USING (term) CROSS JOIN n
+       GROUP BY doc_id),
+tir AS (SELECT doc_id,
+               row_number() OVER (ORDER BY tfidf DESC, doc_id) AS rank_tfidf
+        FROM ti QUALIFY rank_tfidf <= {RRF_TOP})
+SELECT coalesce(bmr.doc_id, tir.doc_id) AS doc_id,
+       round(coalesce(1.0 / ({RRF_K} + rank_bm25), 0.0)
+             + coalesce(1.0 / ({RRF_K} + rank_tfidf), 0.0), 6) AS rrf,
+       rank_bm25, rank_tfidf
+FROM bmr FULL OUTER JOIN tir USING (doc_id)
+ORDER BY rrf DESC, doc_id
+"""
+
+
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers SOLELY to blame in multi-supplier
+    finalized orders — adapted to the synthetic schema (it carries no
+    receipt/commit dates, so ``l_returnflag = 'R'`` stands in for the
+    late-delivery predicate): count, per supplier, its returned lines
+    in 'F' orders where ANOTHER supplier participated (EXISTS → left
+    semi join) but NO other supplier had a returned line (NOT EXISTS →
+    left anti join). The semi/anti pair against the same fact table is
+    Q21's defining physical shape and the reason it is the classic
+    stress test for join planning."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "leftanti",
+        )
+    )
+    return (
+        sole.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+SQL_TPCH_WAITING_SUPPLIERS = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25
+"""
+
+
+def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per sliding 4h/1h window: the windowed
+    heavy-hitter leaderboard a live dashboard renders. Map-side 4×
+    window replication (slide ratio), ONE groupBy on (window, type),
+    then a rank window partitioned by window start — no self-join; at
+    scale the per-window rank state is bounded by the type cardinality,
+    and under streaming the same aggregation runs watermarked with the
+    rank applied per emitted batch."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", "4 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .orderBy("window_start", "rn")
+    )
+
+
+SQL_EVENTS_WINDOW_TOPK = """
+WITH wnd AS (SELECT date_trunc('hour', ts) - to_hours(k.k) AS window_start,
+                    event_type
+             FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k),
+cnt AS (SELECT window_start, event_type, count(*) AS n
+        FROM wnd GROUP BY window_start, event_type)
+SELECT window_start, event_type, n,
+       row_number() OVER (PARTITION BY window_start
+                          ORDER BY n DESC, event_type) AS rn
+FROM cnt QUALIFY rn <= 3
+ORDER BY window_start, rn
+"""
+
+
+# --------------------------------------------------------------------------
 # Sliding-window HLL cardinality (session 14)
 # --------------------------------------------------------------------------
 
@@ -8501,6 +8720,12 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_events_sliding_distinct,
             _sql_events_sliding_distinct(),
         ),
+        "search_rrf_fusion": (q_search_rrf_fusion, SQL_SEARCH_RRF_FUSION),
+        "tpch_waiting_suppliers": (
+            q_tpch_waiting_suppliers,
+            SQL_TPCH_WAITING_SUPPLIERS,
+        ),
+        "events_window_topk": (q_events_window_topk, SQL_EVENTS_WINDOW_TOPK),
     }
 
 
