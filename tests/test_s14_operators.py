@@ -298,3 +298,61 @@ def test_window_hll_registers_fold_across_batches(spark):
         for r in hll_estimate_by(df, "window_start", "user_id").collect()
     }
     assert got == want
+
+
+def test_opic_host_rank_feeds_domain_rank_policy(spark, corpus_dir, tmp_path):
+    """The OPIC→scheduling loop closes: page-level OPIC importance over
+    the committed crawl links, summed per host, IS a valid
+    frontier_policy='domain_rank' priority table — with global_budget=1
+    the scheduler pops the seed of the highest-OPIC host first (expected
+    host derived from the query output itself, so the assertion tracks
+    the fixture)."""
+    from spacetime_crawler4_spark.crawl.schema import CrawlConfig
+    from spacetime_crawler4_spark.crawl.seqoracle import SeqCrawler
+    from spacetime_crawler4_spark.queries import q_crawl_opic_importance
+    from spacetime_crawler4_spark.sources.fixture import (
+        FIXTURE_WHITELIST,
+        SEED_URLS,
+    )
+
+    imp = q_crawl_opic_importance(spark, "unused")
+    hosts = (
+        imp.select(
+            F.concat(
+                F.parse_url("url", F.lit("PROTOCOL")),
+                F.lit("://"),
+                F.parse_url("url", F.lit("HOST")),
+            ).alias("domain"),
+            "importance",
+        )
+        .groupBy("domain")
+        .agg(F.sum("importance").alias("rank"))
+    )
+    table = str(tmp_path / "opic_ranks.parquet")
+    hosts.write.mode("overwrite").parquet(table)
+    ranks = {r["domain"]: r["rank"] for r in hosts.collect()}
+    # expected first pop: the seed whose host carries the highest OPIC
+    # mass (fifo seed order breaks ties)
+    expect = max(
+        SEED_URLS,
+        key=lambda u: (
+            ranks.get(u.rsplit("/", 1)[0] if u.count("/") > 2 else u, 0.0),
+            -SEED_URLS.index(u),
+        ),
+    )
+    cfg = CrawlConfig(
+        frontier_policy="domain_rank",
+        priority_table=table,
+        global_budget=1,
+        max_waves=2,
+        whitelist=FIXTURE_WHITELIST,
+    )
+    c = SeqCrawler(
+        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/robots.parquet",
+        SEED_URLS,
+        cfg,
+        mode="wave",
+    )
+    c.run()
+    assert c.visit_log[0][2] == expect
