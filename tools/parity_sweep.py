@@ -47,6 +47,10 @@ def main() -> int:
     skip = set()
     if "--skip" in sys.argv:
         skip = set(sys.argv[sys.argv.index("--skip") + 1 :])
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1 :])
+        args = [a for a in args if a not in only]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from spacetime_crawler4_spark.queries import (
@@ -68,6 +72,8 @@ def main() -> int:
     reg = {**registry(), **pending_registry()}
     ok, bad, skipped = [], [], []
     for name, (fn, sql) in reg.items():
+        if only is not None and name not in only:
+            continue
         if name in skip or sql is None:
             skipped.append(name)
             continue
