@@ -7978,6 +7978,164 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Dirichlet query-likelihood retrieval; Rocchio centroid confusion (s14)
+# --------------------------------------------------------------------------
+
+QL_MU = 1000.0
+
+
+def q_search_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet-prior
+    smoothing (Zhai & Lafferty, SIGIR 2001): score(d) = Σ_q ln((tf +
+    μ·cf_w/|C|)/(dl + μ)) over the shared query bag, μ=1000 — the third
+    classical lexical scorer next to BM25 and tf-idf (and the one the
+    CCNet/perplexity plane is secretly a special case of). Candidates =
+    docs matching ≥1 term (inverted-index discipline); every candidate
+    is then scored over ALL query terms with tf=0 smoothing via a
+    left join. Collection stats ride a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(sql_tokens(F.col("text"))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    coll = toks.agg(F.count("*").alias("c_total"))
+    terms = spark.createDataFrame([(t,) for t in _RANK_TERMS], "term string")
+    cf = (
+        terms.alias("t")
+        .join(toks.alias("k"), F.col("t.term") == F.col("k.term"), "left")
+        .groupBy("t.term")
+        .agg(F.count("k.term").alias("cf"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_RANK_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    cand = tf.select("doc_id").distinct()
+    scored = (
+        cand.crossJoin(F.broadcast(cf))
+        .join(tf, ["doc_id", "term"], "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (
+                            F.coalesce(F.col("tf"), F.lit(0))
+                            + F.lit(QL_MU)
+                            * F.col("cf")
+                            / F.col("c_total")
+                        )
+                        / (F.col("dl") + F.lit(QL_MU))
+                    )
+                ),
+                6,
+            ).alias("ql")
+        )
+    )
+    return scored.orderBy(F.desc("ql"), "doc_id").limit(20)
+
+
+SQL_SEARCH_DIRICHLET_QL = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+coll AS (SELECT count(*) AS c_total FROM toks),
+terms AS (SELECT unnest(['join', 'filter', 'merge']) AS term),
+cf AS (SELECT t.term, count(k.term) AS cf
+       FROM terms t LEFT JOIN toks k ON k.term = t.term GROUP BY t.term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY doc_id, term),
+cand AS (SELECT DISTINCT doc_id FROM tf)
+SELECT c.doc_id,
+       round(sum(ln((coalesce(tf.tf, 0) + {QL_MU!r} * cf.cf / coll.c_total)
+                    / (dl.dl + {QL_MU!r}))), 6) AS ql
+FROM cand c
+CROSS JOIN cf
+LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = cf.term
+JOIN dl ON dl.doc_id = c.doc_id
+CROSS JOIN coll
+GROUP BY c.doc_id ORDER BY ql DESC, c.doc_id LIMIT 20
+"""
+
+
+def q_embed_rocchio_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio nearest-centroid classification audit: every embedding is
+    assigned to the closest per-label centroid (cosine, centroids from
+    the bit-deterministic element-wise fold, components rounded to 6 so
+    the election is boundary-stable cross-engine) and the confusion
+    matrix (actual, predicted, n, share) says which labels the
+    prototype geometry separates — the embedding-plane twin of
+    text_langid_confusion. Scale: centroids are a label-count-sized
+    broadcast; assignment is map-only; ONE count shuffle."""
+    from pyspark.sql.window import Window
+    from spacetime_crawler4_spark.operators.similarity import (
+        cosine,
+        grouped_elementwise_mean,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = grouped_elementwise_mean(emb, "label", "vec_id", "embedding").select(
+        F.col("key").alias("clabel"),
+        F.transform("mean", lambda x: F.round(x, 6)).alias("cv"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("cos"),
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos"), F.asc("clabel")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("actual"), F.col("clabel").alias("predicted"))
+    )
+    conf = pred.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    tot = conf.groupBy("actual").agg(F.sum("n").alias("t"))
+    return (
+        conf.join(tot, "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+SQL_EMBED_ROCCHIO_CONFUSION = f"""
+WITH d AS (SELECT label, vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings),
+c0 AS (SELECT label AS clabel, dim, round(sum(x) / count(*), 6) AS v
+       FROM d GROUP BY label, dim),
+cent AS (SELECT clabel, list(v ORDER BY dim) AS cv FROM c0 GROUP BY clabel),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sc AS (SELECT e.vec_id, e.label, cent.clabel,
+              {_duck_cos("e.v", "cent.cv")} AS cos
+       FROM e CROSS JOIN cent),
+pr AS (SELECT label AS actual, clabel AS predicted FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, clabel) AS rn
+         FROM sc) WHERE rn = 1),
+cf AS (SELECT actual, predicted, count(*) AS n FROM pr GROUP BY 1, 2),
+tot AS (SELECT actual, sum(n) AS t FROM cf GROUP BY actual)
+SELECT actual, predicted, n, round(CAST(n AS DOUBLE) / t, 6) AS share
+FROM cf JOIN tot USING (actual)
+ORDER BY actual, predicted
+"""
+
+
+# --------------------------------------------------------------------------
 # Reciprocal-rank fusion; TPC-H Q21 shape; windowed top-k (session 14)
 # --------------------------------------------------------------------------
 
@@ -8726,6 +8884,11 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             SQL_TPCH_WAITING_SUPPLIERS,
         ),
         "events_window_topk": (q_events_window_topk, SQL_EVENTS_WINDOW_TOPK),
+        "search_dirichlet_ql": (q_search_dirichlet_ql, SQL_SEARCH_DIRICHLET_QL),
+        "embed_rocchio_confusion": (
+            q_embed_rocchio_confusion,
+            SQL_EMBED_ROCCHIO_CONFUSION,
+        ),
     }
 
 
