@@ -219,6 +219,118 @@ def winnow_fingerprints_vectorized(
     return docs.select(id_col, text_col).mapInPandas(_winnow, out_schema)
 
 
+def winnow_fp_sets_vectorized(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, fp) — the DISTINCT winnowed fingerprint rows themselves
+    (same numpy core, gram memo, and (high64, low64) md5 ordering as
+    ``winnow_fingerprints_vectorized``, which emits only the per-doc
+    summary). This is the set form the MOSS-style overlap join consumes;
+    row volume is ~len(text)/((w+1)/2) per doc (the winnowing density
+    guarantee), far below the per-char explode of the relational form."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id_field = docs.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, fp string"
+
+    def _winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            memo: dict[str, tuple[int, int]] = {}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = (text or "").lower()
+                n_sub = max(len(s) - (k - 1), 1)
+                if n_sub - w < 0:
+                    continue
+                hi = np.empty(n_sub, dtype=np.uint64)
+                lo = np.empty(n_sub, dtype=np.uint64)
+                for i in range(n_sub):
+                    g = s[i : i + k]
+                    hl = memo.get(g)
+                    if hl is None:
+                        d = hashlib.md5(g.encode()).hexdigest()
+                        hl = (int(d[:16], 16), int(d[16:], 16))
+                        memo[g] = hl
+                    hi[i], lo[i] = hl
+                n_win = n_sub - w + 1
+                mh, ml = hi[:n_win].copy(), lo[:n_win].copy()
+                for j in range(1, w):
+                    ch, cl = hi[j : j + n_win], lo[j : j + n_win]
+                    take = (ch < mh) | ((ch == mh) & (cl < ml))
+                    np.copyto(mh, ch, where=take)
+                    np.copyto(ml, cl, where=take)
+                pairs = np.unique(np.stack([mh, ml], axis=1), axis=0)
+                for a, b in pairs:
+                    ids.append(doc_id)
+                    fps.append(f"{a:016x}{b:016x}")
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(_winnow, out_schema)
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    max_df: int = 20,
+) -> DataFrame:
+    """MOSS-style overlapping-passage pairs (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003) from a (doc_id, fp) winnowed-fingerprint frame:
+    pairs sharing >= ``min_shared`` fingerprints, with the overlap
+    coefficient n_shared/min(n_a, n_b). Winnowing's guarantee makes
+    this a LOCAL-similarity detector: any shared substring of length
+    >= k+w-1 leaves a shared fingerprint, so partial plagiarism /
+    quoted-passage pairs surface even when global Jaccard is tiny —
+    the complement of the whole-document MinHash plane.
+
+    Scale: the same df-capped equi-join shape as jaccard_pairs — a
+    fingerprint in d docs contributes d(d-1)/2 pair rows, so head
+    fingerprints (boilerplate chrome) are dropped by the ``max_df``
+    count-window before the join; the window's hash partitioning on fp
+    is exactly the join's, so Catalyst reuses one Exchange."""
+    from pyspark.sql.window import Window
+
+    f = fps.select(F.col(id_col).alias("id"), "fp")
+    f = (
+        f.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    sizes = f.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = f.alias("a"), f.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ).alias("overlap"),
+        )
+    )
+
+
 def rabin_fingerprints_vectorized(
     docs: DataFrame,
     id_col: str = "doc_id",

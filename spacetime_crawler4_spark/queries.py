@@ -7978,6 +7978,160 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# MOSS winnow-overlap pairs; Good-Turing OOV audit (session 14)
+# --------------------------------------------------------------------------
+
+WINNOW_MIN_SHARED = 3
+WINNOW_MAX_DF = 20
+
+
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-overlap pairs (Schleimer et al., SIGMOD 2003):
+    documents sharing >= 3 winnowed char-8-gram fingerprints, with the
+    overlap coefficient — the LOCAL-similarity complement of the
+    whole-document MinHash plane (a lifted paragraph leaves shared
+    fingerprints even when global Jaccard is tiny; any shared substring
+    of length >= k+w-1 = 11 chars is guaranteed one). Production path:
+    numpy winnowing in one mapInPandas pass, then the df-capped
+    fingerprint equi-join (operators/textstats.winnow_overlap_pairs);
+    the oracle rebuilds the fingerprint sets with the frame-spec window
+    chain the summary query already proves row-identical."""
+    from spacetime_crawler4_spark.operators.textstats import (
+        winnow_fp_sets_vectorized,
+        winnow_overlap_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fp_sets_vectorized(docs, k=8, w=4)
+    return winnow_overlap_pairs(
+        fps, min_shared=WINNOW_MIN_SHARED, max_df=WINNOW_MAX_DF
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_WINNOW_PAIRS = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest([substr(lower(text), i, 8)
+                 for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS gram,
+         generate_subscripts([substr(lower(text), i, 8)
+                 for i in range(1, greatest(length(text) - 7, 1) + 1)], 1) - 1 AS pos
+  FROM documents),
+wm AS (SELECT doc_id, pos,
+              min(md5(gram)) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+              count(*) OVER (PARTITION BY doc_id) AS npos
+       FROM g),
+fp0 AS (SELECT DISTINCT doc_id AS id, wmin AS fp FROM wm WHERE pos <= npos - 4),
+dfc AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+fp AS (SELECT id, fp0.fp FROM fp0 JOIN dfc USING (fp)),
+sz AS (SELECT id, count(*) AS sz FROM fp GROUP BY id),
+sh AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+       FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+       GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT id_a, id_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap
+FROM sh JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+ORDER BY id_a, id_b
+"""
+
+
+OOV_TRAIN_PCT = 80
+
+
+def q_text_oov_goodturing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing out-of-vocabulary budgeting per source: on a
+    deterministic md5 80% train split, the singleton mass N1/N is the
+    Good-Turing estimate of the probability the NEXT token is unseen;
+    the held-out 20% measures the realized OOV token rate against the
+    train vocabulary. The audit every tokenizer/vocab decision should
+    read before freezing a vocab at corpus scale — sources whose
+    realized OOV far exceeds the GT mass are drifting or noisy.
+
+    Scale: two token aggregates per source (train counts, holdout
+    probe) and one vocab left join keyed (source, token) — all
+    hash-shuffles; the split is the engine-portable md5 convention of
+    the sampling plane."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("oov:"), F.col("doc_id"))), 1, 6),
+        16,
+        10,
+    ).cast("long") % 100
+    tagged = docs.select(
+        "source",
+        F.explode(sql_tokens(F.col("text"))).alias("token"),
+        (bucket < OOV_TRAIN_PCT).alias("is_train"),
+    )
+    train_counts = (
+        tagged.filter("is_train").groupBy("source", "token").agg(
+            F.count("*").alias("c")
+        )
+    )
+    gt = train_counts.groupBy("source").agg(
+        F.sum("c").alias("n_train_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+    )
+    hold = tagged.filter(~F.col("is_train")).join(
+        train_counts.select("source", "token", F.lit(True).alias("in_vocab")),
+        ["source", "token"],
+        "left",
+    )
+    oov = hold.groupBy("source").agg(
+        F.count("*").alias("n_holdout_tokens"),
+        F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+    )
+    return (
+        gt.join(oov, "source")
+        .select(
+            "source",
+            "n_train_tokens",
+            "n1",
+            F.round(F.col("n1") / F.col("n_train_tokens"), 6).alias(
+                "gt_unseen_mass"
+            ),
+            "n_holdout_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_holdout_tokens"), 6).alias(
+                "holdout_oov_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_OOV_GOODTURING = f"""
+WITH toks AS (SELECT source,
+                     unnest({_DUCK_TOKS}) AS token,
+                     CAST(('0x' || substr(md5('oov:' || CAST(doc_id AS VARCHAR)),
+                                          1, 6)) AS BIGINT) % 100
+                         < {OOV_TRAIN_PCT} AS is_train
+              FROM documents),
+tc AS (SELECT source, token, count(*) AS c FROM toks
+       WHERE is_train GROUP BY source, token),
+gt AS (SELECT source, sum(c) AS n_train_tokens,
+              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1
+       FROM tc GROUP BY source),
+hold AS (SELECT t.source, t.token,
+                (tc.token IS NOT NULL) AS in_vocab
+         FROM toks t LEFT JOIN tc
+           ON tc.source = t.source AND tc.token = t.token
+         WHERE NOT t.is_train),
+oov AS (SELECT source, count(*) AS n_holdout_tokens,
+               sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS n_oov
+        FROM hold GROUP BY source)
+SELECT source,
+       CAST(n_train_tokens AS BIGINT) AS n_train_tokens,
+       CAST(n1 AS BIGINT) AS n1,
+       round(CAST(n1 AS DOUBLE) / n_train_tokens, 6) AS gt_unseen_mass,
+       CAST(n_holdout_tokens AS BIGINT) AS n_holdout_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       round(CAST(n_oov AS DOUBLE) / n_holdout_tokens, 6) AS holdout_oov_rate
+FROM gt JOIN oov USING (source)
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Dirichlet query-likelihood retrieval; Rocchio centroid confusion (s14)
 # --------------------------------------------------------------------------
 
@@ -8888,6 +9042,11 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "embed_rocchio_confusion": (
             q_embed_rocchio_confusion,
             SQL_EMBED_ROCCHIO_CONFUSION,
+        ),
+        "dedup_winnow_pairs": (q_dedup_winnow_pairs, SQL_DEDUP_WINNOW_PAIRS),
+        "text_oov_goodturing": (
+            q_text_oov_goodturing,
+            SQL_TEXT_OOV_GOODTURING,
         ),
     }
 

@@ -356,3 +356,72 @@ def test_opic_host_rank_feeds_domain_rank_policy(spark, corpus_dir, tmp_path):
     )
     c.run()
     assert c.visit_log[0][2] == expect
+
+
+# ----------------------------------------------------------------------
+# Winnow fingerprint sets + MOSS overlap pairs
+# ----------------------------------------------------------------------
+
+
+def test_winnow_fp_sets_match_relational(spark):
+    """The vectorized (doc_id, fp) set rows equal the relational
+    frame-spec-window derivation exactly."""
+    from pyspark.sql.window import Window
+    from spacetime_crawler4_spark.operators.textstats import (
+        winnow_fp_sets_vectorized,
+    )
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "pack my box with five dozen liquor jugs"),
+        ("c", "tiny"),  # shorter than k+w-1: absent from output
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fp_sets_vectorized(docs, k=8, w=4).collect()
+    }
+    txt = F.lower(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - 7, F.lit(1))),
+        lambda i: txt.substr(i, F.lit(8)),
+    )
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    np_ = Window.partitionBy("doc_id")
+    rel = (
+        g.withColumn("wmin", F.min("h").over(win))
+        .withColumn("npos", F.count("*").over(np_))
+        .filter(F.col("pos") <= F.col("npos") - 4)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    want = {(r["doc_id"], r["wmin"]) for r in rel.collect()}
+    assert got == want and not any(d == "c" for d, _ in got)
+
+
+def test_winnow_overlap_catches_lifted_paragraph(spark):
+    """Two globally-different docs sharing one lifted sentence surface as
+    an overlap pair (local similarity), while unrelated docs do not."""
+    from spacetime_crawler4_spark.operators.textstats import (
+        winnow_fp_sets_vectorized,
+        winnow_overlap_pairs,
+    )
+
+    lifted = "climate change is accelerating faster than models predicted"
+    rows = [
+        ("a", "report one intro. " + lifted + " end of report one."),
+        ("b", "completely different study text here. " + lifted),
+        ("u1", "unrelated document about cooking pasta al dente nightly"),
+        ("u2", "another text regarding medieval castle architecture notes"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fp_sets_vectorized(docs, k=8, w=4)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(fps, min_shared=3, max_df=20).collect()
+    }
+    assert ("a", "b") in got and got[("a", "b")] >= 3
+    assert all(k == ("a", "b") for k in got)
