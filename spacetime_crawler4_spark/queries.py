@@ -475,7 +475,8 @@ FROM thr t ORDER BY t.thr
 # shared CTE chain: minhash-LSH verified pairs (identical to
 # SQL_DEDUP_MINHASH) — reused by the connected-components oracles below,
 # which close over the pair graph with a recursive CTE.
-_SQL_MINHASH_PAIR_CTES = f"""
+# verified-pair prefix (non-recursive) — reusable without the CC closure
+_SQL_MINHASH_VERIFIED_PAIRS_CTES = f"""
 toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
 sh AS (SELECT doc_id AS id,
               unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
@@ -499,7 +500,11 @@ inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
           GROUP BY 1, 2),
 pairs AS (SELECT id_a, id_b
           FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
-          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5),
+          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5)"""
+
+_SQL_MINHASH_PAIR_CTES = (
+    _SQL_MINHASH_VERIFIED_PAIRS_CTES
+    + """,
 sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
 reach AS (SELECT src, dst FROM sym
@@ -508,6 +513,7 @@ reach AS (SELECT src, dst FROM sym
 comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
          FROM reach GROUP BY src)
 """
+)
 
 
 def q_dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3413,6 +3419,97 @@ SELECT d.doc_id, g.gopher_keep,
 FROM documents d
 JOIN g ON g.doc_id = d.doc_id
 LEFT JOIN comp c ON c.id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
+JOIN spl ON spl.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_pipeline_admission_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission manifest with the SINGLE-ROUND dup election: a doc
+    is dup-dropped iff it has a VERIFIED (J >= 0.5) pair with a smaller
+    doc_id — one groupBy over the pair list, no connected-components
+    closure (no iteration, no recursion). The trade vs
+    ``pipeline_admission``: pure chain-merges (a~b, b~c, never a~c)
+    keep c here but drop it under CC — exactly the cases
+    dedup_cluster_cohesion flags as questionable CC drops, so at 100-TB
+    admission scale this is both the cheaper AND the more conservative
+    wave shape. Schema-identical to pipeline_admission for direct
+    diffing."""
+    docs = _t(spark, sf_dir, "documents")
+    gq = gopher_quality(docs).select("doc_id", "gopher_keep")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    rm = (
+        minhash_lsh_pairs(sh, k=8, r=2, min_jaccard=0.5)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("master"))
+        .select(F.col("id_b").alias("doc_id"), "master")
+    )
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    corpus = docs.filter(~F.expr(_BENCH_PRED))
+    cont = (
+        decontaminate(
+            corpus, bench, "doc_id", "text",
+            n=DECONTAM_N, min_hits=DECONTAM_MIN_HITS,
+        )
+        .select(F.col("id").alias("doc_id"), "contaminated")
+    )
+    spl = train_test_split(docs.select("doc_id"), "doc_id", 0.2)
+    dup_drop = F.col("master").isNotNull()
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    is_bench = F.expr(_BENCH_PRED)
+    return (
+        docs.select("doc_id")
+        .join(gq, "doc_id")
+        .join(rm, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(spl, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            dup_drop.alias("dup_drop"),
+            contaminated.alias("contaminated"),
+            is_bench.alias("is_bench"),
+            (
+                F.col("gopher_keep")
+                & ~dup_drop
+                & ~contaminated
+                & ~is_bench
+            ).alias("admitted"),
+            "split",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pipeline_admission_onepass() -> str:
+    return f"""
+WITH {_SQL_MINHASH_VERIFIED_PAIRS_CTES},
+rm AS (SELECT id_b AS doc_id, min(id_a) AS master FROM pairs GROUP BY id_b),
+g AS (SELECT doc_id, gopher_keep FROM ({SQL_WEBFILTER_GOPHER}) s),
+sh5 AS ({_duck_grams(DECONTAM_N)}),
+bench5 AS (SELECT DISTINCT shingle FROM sh5 WHERE id % 10 = 7),
+cont AS (SELECT id AS doc_id,
+                sum(CASE WHEN shingle IN (SELECT shingle FROM bench5)
+                    THEN 1 ELSE 0 END) >= {DECONTAM_MIN_HITS} AS contaminated
+         FROM sh5 WHERE NOT (id % 10 = 7) GROUP BY id),
+spl AS (SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 6)
+                         AS INTEGER) % 1000000 < 200000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+SELECT d.doc_id, g.gopher_keep,
+       (rm.master IS NOT NULL) AS dup_drop,
+       coalesce(cont.contaminated, FALSE) AS contaminated,
+       (d.doc_id % 10 = 7) AS is_bench,
+       (g.gopher_keep
+        AND NOT (rm.master IS NOT NULL)
+        AND NOT coalesce(cont.contaminated, FALSE)
+        AND NOT (d.doc_id % 10 = 7)) AS admitted,
+       spl.split
+FROM documents d
+JOIN g ON g.doc_id = d.doc_id
+LEFT JOIN rm ON rm.doc_id = d.doc_id
 LEFT JOIN cont ON cont.doc_id = d.doc_id
 JOIN spl ON spl.doc_id = d.doc_id
 ORDER BY d.doc_id
@@ -9047,6 +9144,10 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "text_oov_goodturing": (
             q_text_oov_goodturing,
             SQL_TEXT_OOV_GOODTURING,
+        ),
+        "pipeline_admission_onepass": (
+            q_pipeline_admission_onepass,
+            _sql_pipeline_admission_onepass(),
         ),
     }
 
