@@ -3188,6 +3188,70 @@ WHERE d.doc_id >= {INCR_SPLIT_ID} ORDER BY batch_id
 """
 
 
+def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus docs whose whole-document
+    Jaccard against ANY benchmark doc reaches 0.5, found by cross-table
+    MinHash-banded LSH (benchmark never self-joins) with exact-Jaccard
+    verification — catches the paraphrased / lightly-edited eval
+    leakage the exact n-gram probe (decontam_report) structurally
+    misses. Reuses operators/decontam.incremental_dedup with the
+    benchmark as the base side: at production scale the benchmark band
+    table is a tiny reusable artifact and the corpus side streams
+    through in one pass. Output is the per-corpus-doc manifest
+    (matched_bench / jaccard / contaminated)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    corpus = docs.filter(~F.expr(_BENCH_PRED))
+    return (
+        incremental_dedup(
+            bench, corpus, "doc_id", "text", n=3, k=8, r=2, min_jaccard=0.5
+        )
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.col("dup_of").alias("matched_bench"),
+            "jaccard",
+            (~F.col("keep")).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAM_FUZZY = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS ({_duck_grams(3)}),
+sig AS (SELECT id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+        GROUP BY id, band),
+bands AS (SELECT id, CAST(band // 2 AS INTEGER) AS band_id,
+                 md5(string_agg(sig, '|' ORDER BY band)) AS bsig
+          FROM sig GROUP BY id, band // 2),
+cand AS (SELECT DISTINCT q.id AS batch_id, c.id AS base_id
+         FROM bands q JOIN bands c
+           ON q.band_id = c.band_id AND q.bsig = c.bsig
+         WHERE NOT (q.id % 10 = 7) AND c.id % 10 = 7),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+verified AS (
+  SELECT v.batch_id, v.base_id, v.jaccard FROM (
+    SELECT i.batch_id, i.base_id,
+           round(i.inter / (sq.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM (SELECT c.batch_id, c.base_id, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.id = c.batch_id
+          JOIN sh b ON b.id = c.base_id AND b.shingle = a.shingle
+          GROUP BY 1, 2) i
+    JOIN sz sq ON sq.id = i.batch_id JOIN sz sb ON sb.id = i.base_id) v
+  WHERE v.jaccard >= 0.5),
+best AS (SELECT batch_id, base_id, jaccard FROM (
+           SELECT *, row_number() OVER (PARTITION BY batch_id
+                     ORDER BY jaccard DESC, base_id ASC) AS rn
+           FROM verified) WHERE rn = 1)
+SELECT d.doc_id, best.base_id AS matched_bench, best.jaccard,
+       best.base_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id
+WHERE NOT (d.doc_id % 10 = 7) ORDER BY doc_id
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact audit: deterministic synthetic PII (derived
     from doc_id by inlined integer arithmetic, identically in the oracle)
@@ -8962,6 +9026,59 @@ ORDER BY source_a, source_b
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — positive-balance customers above the global
+    positive-balance average who have NEVER ordered, tallied per nation:
+    a scalar-subquery broadcast (1-row average) gating a LEFT ANTI join
+    against the fact table, then a broadcast dim join. The anti join +
+    scalar-aggregate pair is Q22's defining shape (the original groups
+    by phone country code; the synthetic schema's nation key stands
+    in)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "leftanti",
+        )
+    )
+    return (
+        rich.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_TPCH_IDLE_RICH_CUSTOMERS = """
+SELECT n_name, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
     """Queries staged for a FUTURE round's correctness window.
 
@@ -9148,6 +9265,11 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "pipeline_admission_onepass": (
             q_pipeline_admission_onepass,
             _sql_pipeline_admission_onepass(),
+        ),
+        "decontam_fuzzy": (q_decontam_fuzzy, SQL_DECONTAM_FUZZY),
+        "tpch_idle_rich_customers": (
+            q_tpch_idle_rich_customers,
+            SQL_TPCH_IDLE_RICH_CUSTOMERS,
         ),
     }
 
