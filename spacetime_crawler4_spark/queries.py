@@ -9031,28 +9031,32 @@ ORDER BY source_a, source_b
 # --------------------------------------------------------------------------
 
 
+TPCH_LAPSE_CUTOFF = "2000-01-01"
+
+
 def q_tpch_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — positive-balance customers above the global
-    positive-balance average who have NEVER ordered, tallied per nation:
-    a scalar-subquery broadcast (1-row average) gating a LEFT ANTI join
-    against the fact table, then a broadcast dim join. The anti join +
-    scalar-aggregate pair is Q22's defining shape (the original groups
-    by phone country code; the synthetic schema's nation key stands
-    in)."""
+    positive-balance average with NO ORDER since the cutoff (lapsed
+    high-value accounts), tallied per nation: a scalar-subquery
+    broadcast (1-row average) gating a LEFT ANTI join against the
+    date-filtered fact table, then a broadcast dim join. The anti join
+    + scalar-aggregate pair is Q22's defining shape (the original's
+    7-year no-order window and phone-country grouping map to the
+    synthetic schema's date cutoff and nation key); the date predicate
+    pushes to the orders scan before the anti join."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(TPCH_LAPSE_CUTOFF).cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
     rich = (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(
-            orders.select(F.col("o_custkey").alias("c_custkey")),
-            "c_custkey",
-            "leftanti",
-        )
+        .join(recent, "c_custkey", "leftanti")
     )
     return (
         rich.join(
@@ -9068,13 +9072,15 @@ def q_tpch_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_IDLE_RICH_CUSTOMERS = """
+SQL_TPCH_IDLE_RICH_CUSTOMERS = f"""
 SELECT n_name, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM customer
 JOIN nation ON n_nationkey = c_nationkey
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{TPCH_LAPSE_CUTOFF}')
 GROUP BY n_name ORDER BY n_name
 """
 
