@@ -369,6 +369,79 @@ def oph_lsh_pairs(
     )
 
 
+def ppjoin_pairs(sh: DataFrame, t: float = 0.5) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Bayardo et
+    al. WWW'07 All-Pairs; Xiao et al. WWW'08 PPJoin): all pairs with
+    Jaccard >= ``t``, recall 1.0 BY CONSTRUCTION — the exact complement
+    of the MinHash/OPH LSH plane (which trades recall for candidate
+    volume) and of the df-capped co-occurrence join (which silently
+    drops head-shingle pairs).
+
+    The filtering lemma: order each doc's shingles by a global
+    canonical order (ascending document frequency, rarest first, ties
+    by shingle); with prefix length |x| - ceil(t*|x|) + 1, any two sets
+    with J >= t MUST share a prefix token — so the equi-join touches
+    only prefix rows (the rarest shingles, hence the smallest join
+    buckets), and exact verification runs only on candidates. Cost:
+    one df aggregate, one rank window, a prefix equi-join bounded by
+    rare-token bucket sizes, and the candidate-restricted verify — no
+    quadratic stage, no recall loss. ceil(t*n) with t=0.5 is
+    engine-exact (halves), keeping prefixes identical in the oracle."""
+    from pyspark.sql.window import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "_pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("_df", "shingle")
+            ),
+        )
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
+    ).select("id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sha, cand.id_a == F.col("sa.id"))
+        .join(
+            shb,
+            (cand.id_b == F.col("sb.id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 def lsh_onepass_removals(bands: DataFrame) -> DataFrame:
     """Single-round LSH dedup election: (id, master) for every document
     that shares ANY band bucket with a lower id — no iterative

@@ -9027,6 +9027,56 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# PPJoin exact set-similarity join (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 near-dup pairs via prefix filtering
+    (All-Pairs / PPJoin, operators/dedup.ppjoin_pairs) — recall 1.0 by
+    construction, unlike the banded LSH plane: docs are candidates iff
+    they share one of their rarest-first prefix shingles, so the join
+    touches only the smallest buckets and NO true pair can be missed
+    (the prefix lemma). This is the plane to certify LSH recall
+    against, and the admission path when a pipeline needs provable
+    completeness rather than probabilistic recall."""
+    from spacetime_crawler4_spark.operators.dedup import ppjoin_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    return ppjoin_pairs(sh, t=0.5).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_PPJOIN = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    for i in range(1, len(ts) - 1)])) AS shingle
+       FROM toks),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rk AS (SELECT id, sh.shingle,
+              row_number() OVER (PARTITION BY id
+                                 ORDER BY df, sh.shingle) AS pos,
+              count(*) OVER (PARTITION BY id) AS sz
+       FROM sh JOIN dfreq USING (shingle)),
+pre AS (SELECT id, shingle FROM rk WHERE pos <= sz - ceil(0.5 * sz) + 1),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM pre a JOIN pre b
+           ON a.shingle = b.shingle AND a.id < b.id),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.id = c.id_a
+          JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q22 shape (session 14)
 # --------------------------------------------------------------------------
 
@@ -9277,6 +9327,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             q_tpch_idle_rich_customers,
             SQL_TPCH_IDLE_RICH_CUSTOMERS,
         ),
+        "dedup_ppjoin": (q_dedup_ppjoin, SQL_DEDUP_PPJOIN),
     }
 
 

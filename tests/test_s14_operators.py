@@ -425,3 +425,89 @@ def test_winnow_overlap_catches_lifted_paragraph(spark):
     }
     assert ("a", "b") in got and got[("a", "b")] >= 3
     assert all(k == ("a", "b") for k in got)
+
+
+# ----------------------------------------------------------------------
+# PPJoin exact set-similarity join
+# ----------------------------------------------------------------------
+
+
+def test_ppjoin_equals_uncapped_exact_join(spark):
+    """The prefix-filtered pair set equals the full uncapped co-occurrence
+    exact join at the same threshold — recall 1.0, the lemma made a test
+    (run on the sf0.001 fixture corpus where the exact join is cheap)."""
+    from spacetime_crawler4_spark.operators.dedup import (
+        jaccard_pairs,
+        ppjoin_pairs,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pp = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ppjoin_pairs(sh, t=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs(sh, min_jaccard=0.5).collect()
+    }
+    assert pp == exact and len(pp) > 0
+
+
+def test_ppjoin_prefix_prunes_candidates(spark):
+    """The prefix join's candidate count is strictly below the full
+    co-occurrence pair count on a corpus with heavy shared boilerplate
+    (every doc shares a header, so co-occurrence is quadratic while
+    prefixes stay rare)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from spacetime_crawler4_spark.operators.dedup import word_shingles
+
+    header = " ".join(f"h{i}" for i in range(10))
+    rows = [
+        (f"d{i}", header + " " + " ".join(f"u{i}w{j}" for j in range(30)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "_pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("_df", "shingle")
+            ),
+        )
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    pre = ranked.filter(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(0.5) * F.col("_sz")) + 1
+    ).select("id", "shingle")
+    n_pre_cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    n_full_cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    # every doc pair co-occurs through the header (full = 40*39/2); the
+    # rarest-first prefixes are the unique tokens, so candidates collapse
+    assert n_full_cand == 40 * 39 // 2
+    assert n_pre_cand < n_full_cand / 10
