@@ -386,9 +386,16 @@ def ppjoin_pairs(sh: DataFrame, t: float = 0.5) -> DataFrame:
     one df aggregate, one rank window, a prefix equi-join bounded by
     rare-token bucket sizes, and the candidate-restricted verify — no
     quadratic stage, no recall loss. ceil(t*n) with t=0.5 is
-    engine-exact (halves), keeping prefixes identical in the oracle."""
+    engine-exact (halves), keeping prefixes identical in the oracle.
+
+    The shingle frame feeds five consumers (df, rank, sizes, both
+    verify sides), so it and the prefix rows materialize once (the
+    minhash_lsh_pairs discipline); the candidate join also applies the
+    LENGTH filter (J >= t forces min(|x|,|y|) >= t*max(|x|,|y|)), which
+    prunes size-incompatible collisions before the distinct+verify."""
     from pyspark.sql.window import Window
 
+    sh = sh.localCheckpoint(eager=True)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     ranked = (
         sh.join(dfreq, "shingle")
@@ -400,15 +407,23 @@ def ppjoin_pairs(sh: DataFrame, t: float = 0.5) -> DataFrame:
         )
         .withColumn("_sz", F.count("*").over(Window.partitionBy("id")))
     )
-    prefix = ranked.filter(
-        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
-    ).select("id", "shingle")
+    prefix = (
+        ranked.filter(
+            F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
+        )
+        .select("id", "shingle", "_sz")
+        .localCheckpoint(eager=True)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a._sz"), F.col("b._sz"))
+                >= F.lit(t) * F.greatest(F.col("a._sz"), F.col("b._sz"))
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
