@@ -511,3 +511,64 @@ def test_ppjoin_prefix_prunes_candidates(spark):
     # rarest-first prefixes are the unique tokens, so candidates collapse
     assert n_full_cand == 40 * 39 // 2
     assert n_pre_cand < n_full_cand / 10
+
+
+def test_sliding_distinct_stream_register_fold_matches_batch(spark, tmp_path):
+    """foreachBatch incremental run of the sliding-distinct plane: each
+    micro-batch contributes only its window-keyed HLL registers, folded
+    into persistent state by max — the final per-window estimates equal
+    the one-shot batch query over the full input. This is the streaming
+    claim in q_events_sliding_distinct's contract made executable."""
+    import datetime as dt
+
+    from spacetime_crawler4_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_estimate_from_registers,
+        hll_registers_by,
+    )
+
+    rows = [
+        (i, dt.datetime(2025, 3, 1) + dt.timedelta(minutes=13 * i), i % 41)
+        for i in range(500)
+    ]
+    src = tmp_path / "ev"
+    spark.createDataFrame(rows, ["event_id", "ts", "user_id"]).repartition(
+        4
+    ).write.parquet(str(src))
+
+    def windowed(df):
+        return df.select(
+            F.window("ts", "4 hours", "1 hour").alias("w"), "user_id"
+        ).select(F.col("w.start").alias("ws"), "user_id")
+
+    state: dict = {}
+
+    def fold(batch_df, _bid):
+        for r in hll_registers_by(windowed(batch_df), "ws", "user_id").collect():
+            k = (r["ws"], r["bucket"])
+            state[k] = max(state.get(k, 0), r["r"])
+
+    q = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    folded = spark.createDataFrame(
+        [(ws, b, r) for (ws, b), r in state.items()], ["ws", "bucket", "r"]
+    )
+    got = {
+        (r["ws"], r["hll_estimate"])
+        for r in hll_estimate_from_registers(folded, "ws").collect()
+    }
+    want = {
+        (r["ws"], r["hll_estimate"])
+        for r in hll_estimate_by(
+            windowed(spark.read.parquet(str(src))), "ws", "user_id"
+        ).collect()
+    }
+    assert got == want and len(want) > 20
