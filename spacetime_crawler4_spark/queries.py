@@ -8474,28 +8474,34 @@ def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # top-K FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), THEN the rank window over the 20-row frame;
+    # a row_number window over the full scored set would single-partition
+    # sort every matching doc at corpus scale for the same answer
     bm = (
         bm25_scores(docs, _RANK_TERMS)
         .withColumn("bm25", F.round("bm25", 6))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_TOP)
         .withColumn(
             "rank_bm25",
             F.row_number().over(
                 Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
             ),
         )
-        .filter(F.col("rank_bm25") <= RRF_TOP)
         .select("doc_id", "rank_bm25")
     )
     tf = (
         tfidf_scores(docs, _RANK_TERMS)
         .withColumn("tfidf", F.round("tfidf", 6))
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"))
+        .limit(RRF_TOP)
         .withColumn(
             "rank_tfidf",
             F.row_number().over(
                 Window.orderBy(F.desc("tfidf"), F.asc("doc_id"))
             ),
         )
-        .filter(F.col("rank_tfidf") <= RRF_TOP)
         .select("doc_id", "rank_tfidf")
     )
     return (
