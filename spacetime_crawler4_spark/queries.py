@@ -9033,6 +9033,203 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# OPIC host rank table; Q15 shape; stickiness; keyword extraction (s14)
+# --------------------------------------------------------------------------
+
+_HOST_RE = "^[a-z]+://[^/]+"
+
+
+def q_crawl_opic_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level OPIC priority table: page importances summed per
+    ``scheme://host`` — EXACTLY the (domain, rank) parquet shape
+    ``frontier_policy='domain_rank'`` consumes (the integration test
+    drives the scheduler with this query's output), now oracle-
+    certified like crawl_budget_allocation. The scale story is OPIC's
+    own: cash updates credit online per fetch, so this table refreshes
+    incrementally between waves without a synchronous PageRank sweep."""
+    from spacetime_crawler4_spark.operators.graph import opic
+
+    lk = _crawl_links(spark)
+    edges = lk.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    ).distinct()
+    imp = opic(edges, iterations=OPIC_ITERS)
+    return (
+        imp.select(
+            F.regexp_extract("id", _HOST_RE, 0).alias("domain"), "importance"
+        )
+        .groupBy("domain")
+        .agg(F.round(F.sum("importance"), 6).alias("rank"))
+        .orderBy(F.desc("rank"), "domain")
+    )
+
+
+def _sql_crawl_opic_host_rank() -> str:
+    base = _sql_crawl_opic_importance()
+    head, _, _ = base.rpartition("SELECT")
+    k = OPIC_ITERS
+    chain = " + ".join(f"c{i}.c" for i in range(k + 1))
+    joins = "\n".join(f"JOIN c{i} ON c{i}.id = c0.id" for i in range(1, k + 1))
+    return (
+        head
+        + f"""SELECT regexp_extract(c0.id, '{_HOST_RE}') AS domain,
+       round(sum(({chain}) / {float(k + 1)!r}), 6) AS rank
+FROM c0
+{joins}
+GROUP BY domain
+ORDER BY rank DESC, domain"""
+    )
+
+
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) whose quarterly revenue equals
+    the maximum: a reduced per-supplier aggregate, a 1-row max scalar
+    subquery, and the equality join back (the 'view + max' pattern).
+    Revenue is rounded to 2 BEFORE the max comparison in both engines
+    so the argmax is boundary-stable under summation-order drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product stickiness per month: mean daily active users over the
+    month's active days divided by monthly active users (DAU/MAU) —
+    the engagement-intensity ratio every growth dashboard tracks. Two
+    distinct aggregates and one tiny join; the day-level distinct is
+    the only wide stage and shuffles on (month, day)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = (
+        base.groupBy("month", "day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .groupBy("month")
+        .agg(F.count("*").alias("n_days"), F.avg("dau").alias("avg_dau"))
+    )
+    mau = base.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .select(
+            "month",
+            "n_days",
+            F.round("avg_dau", 4).alias("avg_dau"),
+            "mau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_EVENTS_STICKINESS = """
+WITH base AS (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+                     CAST(ts AS DATE) AS day, user_id
+              FROM events),
+d AS (SELECT month, day, count(DISTINCT user_id) AS dau
+      FROM base GROUP BY month, day),
+da AS (SELECT month, count(*) AS n_days, avg(dau) AS avg_dau
+       FROM d GROUP BY month),
+m AS (SELECT month, count(DISTINCT user_id) AS mau FROM base GROUP BY month)
+SELECT month, n_days, round(avg_dau, 4) AS avg_dau, mau,
+       round(avg_dau / mau, 6) AS stickiness
+FROM da JOIN m USING (month)
+ORDER BY month
+"""
+
+
+KEYWORDS_PER_DOC = 3
+
+
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf
+    (ln-smoothed idf over document frequency) — the per-doc metadata a
+    corpus index materializes for faceting/routing. One (doc, term) tf
+    aggregate, a term-df aggregate joined back, and a per-doc rank
+    window bounded by each doc's vocabulary; scores round to 6 before
+    ranking so the election is engine-stable."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(sql_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / (1 + F.col("df"))), 6
+        ).alias("score"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= KEYWORDS_PER_DOC)
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_TEXT_KEYWORDS = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT doc_id, term,
+              round(tf * ln(CAST(n.n_docs AS DOUBLE) / (1 + df)), 6) AS score
+       FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, score,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rank
+FROM sc QUALIFY rank <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # PPJoin exact set-similarity join (session 14)
 # --------------------------------------------------------------------------
 
@@ -9334,6 +9531,13 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
             SQL_TPCH_IDLE_RICH_CUSTOMERS,
         ),
         "dedup_ppjoin": (q_dedup_ppjoin, SQL_DEDUP_PPJOIN),
+        "crawl_opic_host_rank": (
+            q_crawl_opic_host_rank,
+            _sql_crawl_opic_host_rank(),
+        ),
+        "tpch_top_supplier": (q_tpch_top_supplier, SQL_TPCH_TOP_SUPPLIER),
+        "events_stickiness": (q_events_stickiness, SQL_EVENTS_STICKINESS),
+        "text_keywords": (q_text_keywords, SQL_TEXT_KEYWORDS),
     }
 
 
