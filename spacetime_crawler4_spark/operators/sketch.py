@@ -557,3 +557,70 @@ est AS (SELECT grp_a, grp_b, n_kept, rho,
                CAST(rho AS DOUBLE) / n_kept AS jacc
         FROM ag)
 """
+
+
+# --------------------------------------------------------------------------
+# AMS F2 sketch — self-join-size estimation (Alon, Matias & Szegedy 1996)
+# --------------------------------------------------------------------------
+
+AMS_K = 16
+
+
+def ams_sign(key: Column, j: int) -> Column:
+    """±1 four-wise-ish sign for estimator ``j`` — parity of the first
+    md5 hex digit of 'j:key' (engine-portable like every hash here)."""
+    d = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), key.cast("string"))), 1, 1),
+        16,
+        10,
+    ).cast("int")
+    return F.when(d % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def ams_f2_estimate(freqs: DataFrame, key_col: str, freq_col: str, k: int = AMS_K) -> DataFrame:
+    """One-row (f2_est double) — the AMS estimate of F2 = Σ f(key)²,
+    i.e. the SELF-JOIN SIZE of the keyed table: the quantity a join
+    planner needs to price an equi-join on this key without computing
+    it. Each estimator j folds the whole table into ONE integer
+    Z_j = Σ sign_j(key)·f(key) (E[Z²] = F2); the estimate is the
+    median of k=16 squared fold values. Cost: a single aggregate with
+    k sum expressions and map-side partial combine — k integers reach
+    the driver, never a frequency table. Z and Z² are exact BIGINTs,
+    so the oracle reproduces every estimator bit-for-bit; only the
+    final median midpoint is a double."""
+    zs = freqs.agg(
+        *[
+            F.sum(ams_sign(F.col(key_col), j) * F.col(freq_col)).alias(f"z{j}")
+            for j in range(k)
+        ]
+    )
+    ests = F.array_sort(
+        F.array(*[(F.col(f"z{j}") * F.col(f"z{j}")).alias(f"e{j}") for j in range(k)])
+    )
+    mid = k // 2
+    return zs.select(
+        (
+            (
+                F.element_at(ests, mid).cast("double")
+                + F.element_at(ests, mid + 1).cast("double")
+            )
+            / 2.0
+        ).alias("f2_est")
+    )
+
+
+def ams_f2_sql(freq_table_expr: str, key_sql: str, freq_sql: str, k: int = AMS_K) -> str:
+    """DuckDB mirror of ams_f2_estimate over a frequency-table expr."""
+    zcols = ",\n       ".join(
+        f"sum(CASE WHEN CAST(('0x' || substr(md5('{j}:' || CAST({key_sql} AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0"
+        f" THEN {freq_sql} ELSE -{freq_sql} END) AS z{j}"
+        for j in range(k)
+    )
+    earr = "[" + ", ".join(f"z{j} * z{j}" for j in range(k)) + "]"
+    mid = k // 2
+    return f"""
+zs AS (SELECT {zcols} FROM {freq_table_expr}),
+es AS (SELECT list_sort({earr}) AS e FROM zs),
+ams AS (SELECT (CAST(e[{mid}] AS DOUBLE) + CAST(e[{mid + 1}] AS DOUBLE)) / 2.0
+            AS f2_est FROM es)
+"""

@@ -9033,6 +9033,55 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# AMS F2 self-join-size estimate (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch (Alon, Matias & Szegedy, STOC 1996) over the
+    corpus term-frequency table: F2 = Σ tf(term)² is the SELF-JOIN
+    SIZE on the term key — what a planner must price before choosing a
+    join strategy on a skewed key. The sketch folds the whole table
+    into k=16 exact BIGINT countersigns (one aggregate, map-side
+    combine, 16 integers to the driver) and reports the median-of-
+    squares estimate next to the exact F2 and relative error. Every
+    estimator is integer-exact and md5-portable, so the oracle matches
+    bit-for-bit."""
+    from spacetime_crawler4_spark.operators.sketch import ams_f2_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(sql_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    est = ams_f2_estimate(tf, "term", "tf")
+    exact = tf.agg(F.sum(F.col("tf") * F.col("tf")).alias("f2_exact"))
+    return est.crossJoin(exact).select(
+        "f2_exact",
+        F.round("f2_est", 1).alias("f2_est"),
+        F.round(
+            F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+def _sql_sketch_ams_f2() -> str:
+    from spacetime_crawler4_spark.operators.sketch import ams_f2_sql
+
+    return f"""
+WITH toks AS (SELECT unnest({_DUCK_TOKS}) AS term FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+{ams_f2_sql("tf", "term", "tf")},
+ex AS (SELECT sum(tf * tf) AS f2_exact FROM tf)
+SELECT CAST(ex.f2_exact AS BIGINT) AS f2_exact,
+       round(ams.f2_est, 1) AS f2_est,
+       round(abs(ams.f2_est - ex.f2_exact) / ex.f2_exact, 6) AS rel_err
+FROM ams CROSS JOIN ex
+"""
+
+
+# --------------------------------------------------------------------------
 # OPIC host rank table; Q15 shape; stickiness; keyword extraction (s14)
 # --------------------------------------------------------------------------
 
@@ -9538,6 +9587,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "tpch_top_supplier": (q_tpch_top_supplier, SQL_TPCH_TOP_SUPPLIER),
         "events_stickiness": (q_events_stickiness, SQL_EVENTS_STICKINESS),
         "text_keywords": (q_text_keywords, SQL_TEXT_KEYWORDS),
+        "sketch_ams_f2": (q_sketch_ams_f2, _sql_sketch_ams_f2()),
     }
 
 
