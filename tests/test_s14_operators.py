@@ -572,3 +572,26 @@ def test_sliding_distinct_stream_register_fold_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 20
+
+
+# ----------------------------------------------------------------------
+# AMS F2
+# ----------------------------------------------------------------------
+
+
+def test_ams_f2_accuracy_and_partition_invariance(spark):
+    """The median-of-16 AMS estimate lands within ~2/sqrt(k/2) relative
+    error of the exact self-join size on a zipf-ish frequency table,
+    and is invariant to input partitioning (each fold is an exact
+    integer sum)."""
+    from spacetime_crawler4_spark.operators.sketch import ams_f2_estimate
+    from pyspark.sql import functions as F
+
+    rows = [(f"t{i}", max(1, 4000 // (i + 1))) for i in range(800)]
+    exact = sum(f * f for _, f in rows)
+    df1 = spark.createDataFrame(rows, ["term", "tf"]).repartition(1)
+    df32 = spark.createDataFrame(rows, ["term", "tf"]).repartition(32)
+    e1 = ams_f2_estimate(df1, "term", "tf").collect()[0]["f2_est"]
+    e32 = ams_f2_estimate(df32, "term", "tf").collect()[0]["f2_est"]
+    assert e1 == e32
+    assert abs(e1 - exact) / exact < 0.75  # median-of-16 bound, generous
