@@ -150,6 +150,12 @@ AUDITED = [
     "decontam_fuzzy",
     "tpch_idle_rich_customers",
     "dedup_ppjoin",
+    "crawl_opic_importance",
+    "crawl_opic_host_rank",
+    "tpch_top_supplier",
+    "events_stickiness",
+    "text_keywords",
+    "sketch_ams_f2",
 ]
 
 SF = "/root/testdata/sf0.01"
