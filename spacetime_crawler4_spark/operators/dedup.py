@@ -278,10 +278,14 @@ def oph_densified_mins(sh: DataFrame, k: int = 8) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("shingle").cast("string")), 1, OPH_HEX), 16, 10
     ).cast("long")
-    b = h % k
-    wide = sh.groupBy("id").agg(
+    # project the digest ONCE before the aggregate: embedding `h` inside
+    # each of the k min/when expressions would leave k copies of the md5
+    # in the aggregate (Catalyst does not CSE across aggregate exprs),
+    # silently reverting to k-digest cost — the very thing OPH removes
+    hashed = sh.select("id", h.alias("_h"))
+    wide = hashed.groupBy("id").agg(
         *[
-            F.min(F.when(b == j, h)).alias(f"_m{j}")
+            F.min(F.when(F.col("_h") % k == j, F.col("_h"))).alias(f"_m{j}")
             for j in range(k)
         ]
     )
