@@ -588,9 +588,14 @@ def ams_f2_estimate(freqs: DataFrame, key_col: str, freq_col: str, k: int = AMS_
     the driver, never a frequency table. Z and Z² are exact BIGINTs,
     so the oracle reproduces every estimator bit-for-bit; only the
     final median midpoint is a double."""
+    # coalesce: an EMPTY frequency table must estimate F2 = 0, not NULL
+    # (sum over zero rows is NULL — the hll_estimate empty-input lesson)
     zs = freqs.agg(
         *[
-            F.sum(ams_sign(F.col(key_col), j) * F.col(freq_col)).alias(f"z{j}")
+            F.coalesce(
+                F.sum(ams_sign(F.col(key_col), j) * F.col(freq_col)),
+                F.lit(0).cast("long"),
+            ).alias(f"z{j}")
             for j in range(k)
         ]
     )
@@ -612,8 +617,8 @@ def ams_f2_estimate(freqs: DataFrame, key_col: str, freq_col: str, k: int = AMS_
 def ams_f2_sql(freq_table_expr: str, key_sql: str, freq_sql: str, k: int = AMS_K) -> str:
     """DuckDB mirror of ams_f2_estimate over a frequency-table expr."""
     zcols = ",\n       ".join(
-        f"sum(CASE WHEN CAST(('0x' || substr(md5('{j}:' || CAST({key_sql} AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0"
-        f" THEN {freq_sql} ELSE -{freq_sql} END) AS z{j}"
+        f"coalesce(sum(CASE WHEN CAST(('0x' || substr(md5('{j}:' || CAST({key_sql} AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0"
+        f" THEN {freq_sql} ELSE -{freq_sql} END), 0) AS z{j}"
         for j in range(k)
     )
     earr = "[" + ", ".join(f"z{j} * z{j}" for j in range(k)) + "]"
