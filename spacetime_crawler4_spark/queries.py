@@ -9033,6 +9033,147 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# Mann-Kendall trend test; Benford first-digit audit (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_events_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test over the daily event-volume
+    series — the nonparametric drift detector a pipeline runs on its
+    own telemetry before alerting (no normality assumption, robust to
+    outliers). S = Σ_{i<j} sign(n_j − n_i) over day pairs is
+    integer-exact; Var(S) carries the tie correction
+    Σ t(t−1)(2t+5); Z applies the standard ±1 continuity correction.
+    The day-pair self-join is over the REDUCED daily series (365 rows
+    → trivial), never raw events — at 100 TB the reduction is the only
+    wide stage."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_row = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.coalesce(
+                F.sum(F.signum(F.col("b.n") - F.col("a.n")).cast("long")),
+                F.lit(0),
+            ).alias("s")
+        )
+    )
+    nd = daily.agg(F.count("*").alias("n_days"))
+    ties = (
+        daily.groupBy("n")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    joined = s_row.crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(ties))
+    var_s = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "n_days",
+        "s",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("trend_at_5pct"),
+    )
+
+
+SQL_EVENTS_TREND_MK = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+               FROM events GROUP BY day),
+sv AS (SELECT coalesce(sum(CAST(sign(b.n - a.n) AS BIGINT)), 0) AS s
+       FROM daily a JOIN daily b ON a.day < b.day),
+nd AS (SELECT count(*) AS n_days FROM daily),
+tt AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+       FROM (SELECT n, count(*) AS t FROM daily GROUP BY n)),
+j AS (SELECT s, n_days, tie_term,
+             (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term) / 18.0
+                 AS var_s
+      FROM sv CROSS JOIN nd CROSS JOIN tt)
+SELECT n_days, s, round(var_s, 4) AS var_s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z,
+       abs(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                ELSE 0.0 END) > 1.96 AS trend_at_5pct
+FROM j
+"""
+
+
+def q_tpch_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data screen (Newcomb 1881; Benford 1938): naturally
+    scaled magnitudes put digit d first with probability
+    log10(1+1/d); a synthetic or truncated column diverges. Reports
+    observed vs expected share per digit and the chi-square total —
+    map-only digit extraction plus a 9-group aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    # integer-cents path: floor(x*100) is the same IEEE product + floor
+    # in both engines, and BIGINT-to-string rendering is identical, so
+    # the leading digit is engine-exact (×100 never changes it)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    out = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("observed"),
+        F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("expected"),
+        F.round(
+            F.pow(
+                F.col("n") / F.col("total") - F.log10(1 + 1 / F.col("digit")),
+                2,
+            )
+            / F.log10(1 + 1 / F.col("digit"))
+            * F.col("total"),
+            4,
+        ).alias("chi2_term"),
+    )
+    return out.orderBy("digit")
+
+
+SQL_TPCH_BENFORD_AUDIT = """
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n) AS total FROM obs)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed,
+       round(log10(1 + 1.0 / digit), 6) AS expected,
+       round(pow(CAST(n AS DOUBLE) / total - log10(1 + 1.0 / digit), 2)
+             / log10(1 + 1.0 / digit) * total, 4) AS chi2_term
+FROM obs CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
 # AMS F2 self-join-size estimate (session 14)
 # --------------------------------------------------------------------------
 
@@ -9588,6 +9729,8 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "events_stickiness": (q_events_stickiness, SQL_EVENTS_STICKINESS),
         "text_keywords": (q_text_keywords, SQL_TEXT_KEYWORDS),
         "sketch_ams_f2": (q_sketch_ams_f2, _sql_sketch_ams_f2()),
+        "events_trend_mk": (q_events_trend_mk, SQL_EVENTS_TREND_MK),
+        "tpch_benford_audit": (q_tpch_benford_audit, SQL_TPCH_BENFORD_AUDIT),
     }
 
 
