@@ -156,6 +156,8 @@ AUDITED = [
     "events_stickiness",
     "text_keywords",
     "sketch_ams_f2",
+    "events_trend_mk",
+    "tpch_benford_audit",
 ]
 
 SF = "/root/testdata/sf0.01"
