@@ -9033,6 +9033,82 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# CUBE grouping sets; range-frame moving average (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (l_returnflag, l_linestatus): all four grouping sets in
+    ONE pass (Catalyst expands the cube into a single Expand + hash
+    aggregate — no union of four scans), with grouping_id
+    disambiguating the NULL-as-ALL rows. Completes the grouping-sets
+    surface next to tpch_rollup; at scale the Expand multiplies rows
+    by the set count BEFORE the map-side combine, which is still one
+    scan cheaper than re-reading the fact table per set."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily event volume via a
+    RANGE-frame window (range between 6 preceding days and current,
+    keyed on the day ordinal) — the frame-spec window class nothing
+    else in the registry exercises; gaps in the calendar are handled
+    by RANGE semantics (missing days simply contribute nothing), which
+    a ROWS frame would silently get wrong."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    keyed = daily.withColumn("day_ord", F.datediff("day", F.lit("1970-01-01")))
+    w = Window.orderBy("day_ord").rangeBetween(-6, 0)
+    return (
+        keyed.select(
+            "day",
+            "n",
+            F.round(F.avg("n").over(w), 4).alias("ma7"),
+            F.sum("n").over(w).alias("sum7"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_MOVING_AVG = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+               FROM events GROUP BY day),
+keyed AS (SELECT day, n, day - DATE '1970-01-01' AS day_ord FROM daily)
+SELECT day, n,
+       round(avg(n) OVER (ORDER BY day_ord
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+           AS ma7,
+       sum(n) OVER (ORDER BY day_ord
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7
+FROM keyed ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
 # Mann-Kendall trend test; Benford first-digit audit (session 14)
 # --------------------------------------------------------------------------
 
@@ -9731,6 +9807,8 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "sketch_ams_f2": (q_sketch_ams_f2, _sql_sketch_ams_f2()),
         "events_trend_mk": (q_events_trend_mk, SQL_EVENTS_TREND_MK),
         "tpch_benford_audit": (q_tpch_benford_audit, SQL_TPCH_BENFORD_AUDIT),
+        "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
+        "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
     }
 
 
