@@ -158,6 +158,8 @@ AUDITED = [
     "sketch_ams_f2",
     "events_trend_mk",
     "tpch_benford_audit",
+    "tpch_cube",
+    "events_moving_avg",
 ]
 
 SF = "/root/testdata/sf0.01"
