@@ -629,3 +629,147 @@ es AS (SELECT list_sort({earr}) AS e FROM zs),
 ams AS (SELECT (CAST(e[{mid}] AS DOUBLE) + CAST(e[{mid + 1}] AS DOUBLE)) / 2.0
             AS f2_est FROM es)
 """
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap — uncertainty for massive data in ONE pass
+# --------------------------------------------------------------------------
+#
+# The classical bootstrap resamples n rows WITH replacement B times — a
+# non-starter at 100 TB (B full shuffled copies). The Poisson bootstrap
+# (Chamandy et al., "Estimating uncertainty for massive data streams",
+# Google 2012; Kleiner et al.'s BLB is the heavier cousin) replaces each
+# replicate's multinomial row counts with independent Poisson(1) weights:
+# every row carries B small integer weights derived from its own hash, so
+# ALL B replicate statistics are computed in ONE aggregate pass with
+# map-side combine — B weighted sums, no shuffle of data rows at all.
+#
+# Determinism contract (same as every plane here): the Poisson draw is
+# the inverse CDF applied to a 48-bit md5 uniform, with the cumulative
+# thresholds written as exact double literals shared verbatim by the
+# Spark expression and the SQL mirror — identical u ⇒ identical weight ⇒
+# bit-identical replicate sums.
+
+BOOT_B = 100
+BOOT_HEX = 12
+# cumulative P(Poisson(1) <= k), k = 0..7; beyond that weight 8
+_POIS_CDF = []
+_acc = 0.0
+_fact = 1
+for _k in range(8):
+    if _k:
+        _fact *= _k
+    _acc += math.exp(-1.0) / _fact
+    _POIS_CDF.append(_acc)
+
+
+def _boot_u(key: Column, b: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(f"boot{b}"), key.cast("string"))),
+                1,
+                BOOT_HEX,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16 ** BOOT_HEX)
+    )
+
+
+def boot_weight(key: Column, b: int) -> Column:
+    """Deterministic Poisson(1) weight for replicate ``b`` keyed on the
+    row's id — inverse CDF over the md5 uniform."""
+    u = _boot_u(key, b)
+    w: Column | None = None
+    for k, c in enumerate(_POIS_CDF):
+        cond = u < F.lit(c)
+        w = F.when(cond, F.lit(k)) if w is None else w.when(cond, F.lit(k))
+    return w.otherwise(F.lit(8))
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame, id_col: str, value_col: str, b: int = BOOT_B
+) -> DataFrame:
+    """One-row (obs_mean, ci_lo, ci_hi, n, n_replicates): the observed
+    mean of ``value_col`` with a 95% percentile-bootstrap interval from
+    ``b`` Poisson replicates — computed in a SINGLE aggregate (2b+2 sums
+    with map-side combine; nothing but 2b+2 numbers leaves the
+    executors). Replicates whose Poisson weights sum to zero (possible
+    on tiny inputs) are excluded from the percentile; indices use the
+    nearest-rank convention on the sorted replicate means."""
+    key = F.col(id_col)
+    x = F.col(value_col).cast("double")
+    aggs = [
+        F.sum(x).alias("sx"),
+        F.count("*").alias("n"),
+    ]
+    for j in range(b):
+        w = boot_weight(key, j)
+        aggs.append(F.sum(w * x).alias(f"swx{j}"))
+        aggs.append(F.sum(w).alias(f"sw{j}"))
+    row = df.agg(*aggs)
+    means = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f"sw{j}") > 0,
+                        F.col(f"swx{j}") / F.col(f"sw{j}"),
+                    )
+                    for j in range(b)
+                ]
+            ),
+            lambda m: m.isNotNull(),
+        )
+    )
+    nrep = F.size(means)
+    lo_i = F.greatest(F.ceil(nrep * 0.025).cast("int"), F.lit(1))
+    hi_i = F.least(F.ceil(nrep * 0.975).cast("int"), nrep)
+    return row.select(
+        F.round(F.col("sx") / F.col("n"), 6).alias("obs_mean"),
+        F.round(F.element_at(means, lo_i), 6).alias("ci_lo"),
+        F.round(F.element_at(means, hi_i), 6).alias("ci_hi"),
+        F.col("n"),
+        nrep.alias("n_replicates"),
+    )
+
+
+def poisson_bootstrap_sql(
+    table_expr: str, id_sql: str, value_sql: str, b: int = BOOT_B
+) -> str:
+    """DuckDB mirror — identical thresholds, weights, and rank picks."""
+    def w_expr(j: int) -> str:
+        # `bid` — the base CTE's aliased id column, not the raw id_sql
+        u = (
+            f"CAST(('0x' || substr(md5('boot{j}:' || CAST(bid AS VARCHAR)),"
+            f" 1, {BOOT_HEX})) AS BIGINT) / CAST({float(16 ** BOOT_HEX)!r} AS DOUBLE)"
+        )
+        cases = " ".join(
+            f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+        )
+        return f"(CASE {cases} ELSE 8 END)"
+
+    sums = ",\n       ".join(
+        f"sum({w_expr(j)} * x) AS swx{j},\n       sum({w_expr(j)}) AS sw{j}"
+        for j in range(b)
+    )
+    marr = "[" + ", ".join(
+        f"CASE WHEN sw{j} > 0 THEN swx{j} / sw{j} END" for j in range(b)
+    ) + "]"
+    return f"""
+base AS (SELECT {id_sql} AS bid, CAST({value_sql} AS DOUBLE) AS x
+         FROM {table_expr}),
+ag AS (SELECT sum(x) AS sx, count(*) AS n,
+       {sums}
+       FROM base),
+ms AS (SELECT sx, n,
+              list_sort([m for m in {marr} if m IS NOT NULL]) AS means
+       FROM ag),
+boot AS (SELECT round(sx / n, 6) AS obs_mean,
+                round(means[greatest(CAST(ceil(len(means) * 0.025) AS INTEGER), 1)], 6) AS ci_lo,
+                round(means[least(CAST(ceil(len(means) * 0.975) AS INTEGER), len(means))], 6) AS ci_hi,
+                n, len(means) AS n_replicates
+         FROM ms)
+"""

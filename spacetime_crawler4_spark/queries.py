@@ -9033,6 +9033,40 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# Poisson bootstrap CI (session 14)
+# --------------------------------------------------------------------------
+
+
+def q_text_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% confidence interval for the mean document length via the
+    POISSON BOOTSTRAP (Chamandy et al., Google 2012) — the uncertainty
+    method that actually works at 100 TB: instead of materializing B
+    resampled copies, every row carries B=100 deterministic Poisson(1)
+    weights derived from its own md5, and ALL replicate means come out
+    of ONE aggregate pass (202 numbers leave the executors, the data
+    never reshuffles). The md5-uniform → inverse-CDF draw uses exact
+    shared double thresholds, so every replicate mean is bit-portable
+    and the oracle reproduces the interval exactly."""
+    from spacetime_crawler4_spark.operators.sketch import (
+        poisson_bootstrap_mean,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return poisson_bootstrap_mean(docs, "doc_id", "n_chars")
+
+
+def _sql_text_bootstrap_ci() -> str:
+    from spacetime_crawler4_spark.operators.sketch import (
+        poisson_bootstrap_sql,
+    )
+
+    return f"""
+WITH {poisson_bootstrap_sql("documents", "doc_id", "n_chars")}
+SELECT obs_mean, ci_lo, ci_hi, n, n_replicates FROM boot
+"""
+
+
+# --------------------------------------------------------------------------
 # CUBE grouping sets; range-frame moving average (session 14)
 # --------------------------------------------------------------------------
 
@@ -9809,6 +9843,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "tpch_benford_audit": (q_tpch_benford_audit, SQL_TPCH_BENFORD_AUDIT),
         "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
         "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
+        "text_bootstrap_ci": (q_text_bootstrap_ci, _sql_text_bootstrap_ci()),
     }
 
 

@@ -595,3 +595,26 @@ def test_ams_f2_accuracy_and_partition_invariance(spark):
     e32 = ams_f2_estimate(df32, "term", "tf").collect()[0]["f2_est"]
     assert e1 == e32
     assert abs(e1 - exact) / exact < 0.75  # median-of-16 bound, generous
+
+
+# ----------------------------------------------------------------------
+# Poisson bootstrap
+# ----------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_ci_covers_mean_and_is_partition_invariant(spark):
+    """The 95% interval brackets the observed mean, has sane width, and
+    is identical under different partitionings (weights are row-keyed,
+    sums exact up to IEEE associativity absorbed by round-6)."""
+    from spacetime_crawler4_spark.operators.sketch import poisson_bootstrap_mean
+
+    rows = [(i, float(100 + (i * 37) % 50)) for i in range(2000)]
+    df1 = spark.createDataFrame(rows, ["id", "v"]).repartition(1)
+    df8 = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+    r1 = poisson_bootstrap_mean(df1, "id", "v").collect()[0]
+    r8 = poisson_bootstrap_mean(df8, "id", "v").collect()[0]
+    assert tuple(r1) == tuple(r8)
+    assert r1["ci_lo"] <= r1["obs_mean"] <= r1["ci_hi"]
+    assert r1["n_replicates"] == 100
+    # width ~ 4*sd/sqrt(n): sd of the 50-wide sawtooth ≈ 14.4 → ~1.3
+    assert 0.3 < r1["ci_hi"] - r1["ci_lo"] < 4.0
