@@ -580,3 +580,73 @@ def opic(
         ((F.col("h") + F.col("c")) / F.lit(k)).alias("importance"),
         F.col("c").alias("cash"),
     )
+
+
+def salsa(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, authority, hub) — SALSA (Lempel & Moran, WWW 2000): the
+    stochastic cousin of HITS. Scores are stationary probabilities of a
+    random walk alternating backward/forward over the bipartite
+    hub/authority view, so each step is DEGREE-normalized
+    (h(i) = Σ_{i→j} a(j)/indeg(j); a(j) = Σ_{i→j} h(i)/outdeg(i))
+    rather than L2-normalized — no global norm barrier per step, and
+    on a connected component the authority vector converges to
+    indeg/|E| exactly (the classic TKC-immunity result), which the
+    registry query reports as an audit column.
+
+    Scale shape: the degree-weighted edge list is materialized once;
+    each round is two edge joins with node-sized vectors — same
+    discipline as pagerank/hits/opic.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    we = (
+        e.join(outdeg, "src")
+        .join(indeg, "dst")
+        .select("src", "dst", "od", "idg")
+        .localCheckpoint(eager=True)
+    )
+    n_edges = we.count()
+    # a_0 proportional to indeg (the stationary point on a connected
+    # graph): a_0(j) = indeg(j)/|E|
+    auth = (
+        we.select("dst", "idg")
+        .distinct()
+        .select(
+            F.col("dst").alias("id"),
+            (F.col("idg") / F.lit(float(n_edges))).alias("a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        hub = (
+            we.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("a") / F.col("idg")).alias("h"))
+        )
+        auth = (
+            we.join(hub, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") / F.col("od")).alias("a"))
+            .select(F.col("dst").alias("id"), "a")
+            .localCheckpoint(eager=True)
+        )
+    hub = (
+        we.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+        .groupBy("src")
+        .agg(F.sum(F.col("a") / F.col("idg")).alias("h"))
+        .select(F.col("src").alias("id"), "h")
+    )
+    return (
+        auth.join(hub, "id", "full")
+        .select(
+            "id",
+            F.coalesce("a", F.lit(0.0)).alias("authority"),
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+        )
+    )

@@ -9033,6 +9033,86 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# SALSA link analysis (session 14)
+# --------------------------------------------------------------------------
+
+SALSA_ITERS = 3
+
+
+def q_crawl_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA authorities/hubs (Lempel & Moran, WWW 2000) over the
+    committed crawl link graph (operators/graph.salsa): the
+    degree-normalized stochastic cousin of HITS — no global L2 barrier
+    per step, and the theory says a connected component's authority
+    converges to indeg/|E| (TKC immunity), so the query emits that
+    theoretical stationary alongside the iterated score as its own
+    audit. Same one-materialized-edge-list, two-joins-per-round shape
+    as the rest of the link-analysis family."""
+    from spacetime_crawler4_spark.operators.graph import salsa
+
+    lk = _crawl_links(spark)
+    edges = lk.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    e = edges.distinct()
+    n_edges = e.count()
+    indeg = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    out = salsa(edges, iterations=SALSA_ITERS)
+    return (
+        out.join(indeg.select(F.col("dst").alias("id"), "idg"), "id", "left")
+        .select(
+            F.col("id").alias("url"),
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+            F.round(
+                F.coalesce("idg", F.lit(0)) / F.lit(float(n_edges)), 6
+            ).alias("indeg_share"),
+        )
+        .orderBy(F.desc("authority"), "url")
+    )
+
+
+def _sql_crawl_salsa() -> str:
+    ctes = [
+        f"""lk AS (SELECT * FROM '{_CRAWL_LINKS_PARQUET}'),
+e AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM lk),
+od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+idg AS (SELECT dst, count(*) AS idg FROM e GROUP BY dst),
+we AS (SELECT src, dst, od, idg FROM e JOIN od USING (src) JOIN idg USING (dst)),
+ne AS (SELECT count(*) AS ne FROM we),
+a0 AS (SELECT dst AS id, CAST(idg AS DOUBLE) / (SELECT ne FROM ne) AS a
+       FROM (SELECT DISTINCT dst, idg FROM we))"""
+    ]
+    for i in range(1, SALSA_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""h{i} AS (SELECT we.src, sum(a{p}.a / we.idg) AS h
+        FROM we JOIN a{p} ON a{p}.id = we.dst GROUP BY we.src)"""
+        )
+        ctes.append(
+            f"""a{i} AS (SELECT we.dst AS id, sum(h{i}.h / we.od) AS a
+        FROM we JOIN h{i} ON h{i}.src = we.src GROUP BY we.dst)"""
+        )
+    k = SALSA_ITERS
+    ctes.append(
+        f"""hf AS (SELECT we.src AS id, sum(a{k}.a / we.idg) AS h
+        FROM we JOIN a{k} ON a{k}.id = we.dst GROUP BY we.src)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT coalesce(a{k}.id, hf.id) AS url,
+       round(coalesce(a{k}.a, 0.0), 6) AS authority,
+       round(coalesce(hf.h, 0.0), 6) AS hub,
+       round(coalesce(idg.idg, 0) / CAST((SELECT ne FROM ne) AS DOUBLE), 6)
+           AS indeg_share
+FROM a{k} FULL OUTER JOIN hf ON hf.id = a{k}.id
+LEFT JOIN idg ON idg.dst = coalesce(a{k}.id, hf.id)
+ORDER BY authority DESC, url"""
+    )
+
+
+# --------------------------------------------------------------------------
 # Poisson bootstrap CI (session 14)
 # --------------------------------------------------------------------------
 
@@ -9844,6 +9924,7 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
         "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
         "text_bootstrap_ci": (q_text_bootstrap_ci, _sql_text_bootstrap_ci()),
+        "crawl_salsa": (q_crawl_salsa, _sql_crawl_salsa()),
     }
 
 

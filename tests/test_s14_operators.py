@@ -618,3 +618,23 @@ def test_poisson_bootstrap_ci_covers_mean_and_is_partition_invariant(spark):
     assert r1["n_replicates"] == 100
     # width ~ 4*sd/sqrt(n): sd of the 50-wide sawtooth ≈ 14.4 → ~1.3
     assert 0.3 < r1["ci_hi"] - r1["ci_lo"] < 4.0
+
+
+def test_salsa_authority_converges_to_indeg_share(spark):
+    """On a CONNECTED graph the SALSA authority vector is exactly
+    indeg/|E| at every iteration (the TKC-immunity stationary point) —
+    the audit behind crawl_salsa's indeg_share column."""
+    from spacetime_crawler4_spark.operators.graph import salsa
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "b"),
+        ("b", "a"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["authority"] for r in salsa(df, 4).collect()}
+    indeg = {}
+    for _, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    ne = len(edges)
+    for v, a in got.items():
+        assert abs(a - indeg[v] / ne) < 1e-9, v
