@@ -160,6 +160,7 @@ AUDITED = [
     "tpch_benford_audit",
     "tpch_cube",
     "events_moving_avg",
+    "crawl_salsa",
 ]
 
 SF = "/root/testdata/sf0.01"
