@@ -9033,6 +9033,139 @@ ORDER BY source_a, source_b
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q8 (market share) and Q17 (small-quantity revenue) shapes (s14)
+# --------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"
+Q8_TYPE = "PROMO"
+
+
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: for PROMO-type parts
+    sold to ASIA-region customers, the share of yearly revenue supplied
+    by NATION_2's suppliers. The richest join tree the synthetic schema
+    supports (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders ⋈ customer
+    ⋈ nation ⋈ region — two independent nation lookups), with every
+    dim broadcast and both selective predicates (p_type, r_name)
+    pushed to their scans; the share is a conditional-sum ratio inside
+    one aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("s_nation")
+    )
+    nc = (
+        nation.join(
+            region.filter(F.col("r_name") == Q8_REGION).select("r_regionkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == Q8_TYPE).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nation") == Q8_NATION, rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN ns.n_name = '{Q8_NATION}'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = '{Q8_TYPE}'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = nc.n_regionkey AND r_name = '{Q8_REGION}'
+GROUP BY o_year ORDER BY o_year
+"""
+
+Q17_BRAND = "Brand#1"
+
+
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue lost to small-quantity orders of one
+    brand's parts: lineitems with quantity below half the PART'S OWN
+    average quantity (the correlated scalar subquery, decorrelated
+    into a per-part aggregate joined back — the rewrite every modern
+    planner performs). l_quantity is integral so the per-part average
+    is an exact-integer ratio and the threshold compare is
+    engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bparts = part.filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    avg_qty = (
+        li.join(F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .select(F.col("l_partkey").alias("ap_key"), "avg_qty")
+    )
+    small = (
+        li.join(F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    )
+    return small.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+SQL_TPCH_SMALL_QTY_REVENUE = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+aq AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+       FROM lineitem JOIN bp ON p_partkey = l_partkey
+       GROUP BY l_partkey)
+SELECT count(*) AS n_lines,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN bp ON bp.p_partkey = l_partkey
+JOIN aq ON aq.l_partkey = lineitem.l_partkey
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+# --------------------------------------------------------------------------
 # SALSA link analysis (session 14)
 # --------------------------------------------------------------------------
 
@@ -9925,6 +10058,11 @@ def _staged_registry() -> dict[str, tuple[SparkFn, str | None]]:
         "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
         "text_bootstrap_ci": (q_text_bootstrap_ci, _sql_text_bootstrap_ci()),
         "crawl_salsa": (q_crawl_salsa, _sql_crawl_salsa()),
+        "tpch_market_share": (q_tpch_market_share, SQL_TPCH_MARKET_SHARE),
+        "tpch_small_qty_revenue": (
+            q_tpch_small_qty_revenue,
+            SQL_TPCH_SMALL_QTY_REVENUE,
+        ),
     }
 
 
