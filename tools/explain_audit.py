@@ -161,6 +161,8 @@ AUDITED = [
     "tpch_cube",
     "events_moving_avg",
     "crawl_salsa",
+    "tpch_market_share",
+    "tpch_small_qty_revenue",
 ]
 
 SF = "/root/testdata/sf0.01"
