@@ -566,11 +566,20 @@ est AS (SELECT grp_a, grp_b, n_kept, rho,
 AMS_K = 16
 
 
+#: sentinel a NULL key hashes as — shared verbatim by the SQL mirror so a
+#: NULL never diverges (Spark concat_ws SKIPS NULLs, DuckDB || yields NULL)
+AMS_NULL_KEY = "__ams_null_7f3b__"
+
+
 def ams_sign(key: Column, j: int) -> Column:
     """±1 four-wise-ish sign for estimator ``j`` — parity of the first
-    md5 hex digit of 'j:key' (engine-portable like every hash here)."""
+    md5 hex digit of 'j:key' (engine-portable like every hash here).
+    NULL keys are coalesced to :data:`AMS_NULL_KEY` before hashing —
+    identically in :func:`ams_f2_sql` — so both engines fold a NULL key
+    into the same estimator bucket instead of silently disagreeing."""
+    keyed = F.coalesce(key.cast("string"), F.lit(AMS_NULL_KEY))
     d = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), key.cast("string"))), 1, 1),
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), keyed)), 1, 1),
         16,
         10,
     ).cast("int")
@@ -615,9 +624,11 @@ def ams_f2_estimate(freqs: DataFrame, key_col: str, freq_col: str, k: int = AMS_
 
 
 def ams_f2_sql(freq_table_expr: str, key_sql: str, freq_sql: str, k: int = AMS_K) -> str:
-    """DuckDB mirror of ams_f2_estimate over a frequency-table expr."""
+    """DuckDB mirror of ams_f2_estimate over a frequency-table expr.
+    NULL keys coalesce to the same AMS_NULL_KEY sentinel as ams_sign."""
+    key_cs = f"coalesce(CAST({key_sql} AS VARCHAR), '{AMS_NULL_KEY}')"
     zcols = ",\n       ".join(
-        f"coalesce(sum(CASE WHEN CAST(('0x' || substr(md5('{j}:' || CAST({key_sql} AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0"
+        f"coalesce(sum(CASE WHEN CAST(('0x' || substr(md5('{j}:' || {key_cs}), 1, 1)) AS INTEGER) % 2 = 0"
         f" THEN {freq_sql} ELSE -{freq_sql} END), 0) AS z{j}"
         for j in range(k)
     )

@@ -8770,10 +8770,13 @@ def q_crawl_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_crawl_opic_importance() -> str:
-    """The cash recurrence unrolled as chained CTEs; importance is the
-    left-to-right average (c0 + ... + cR)/(R+1), matching the engine's
-    incremental history accumulation addition-for-addition."""
+def _sql_crawl_opic_ctes() -> tuple[str, str, str]:
+    """Shared OPIC oracle scaffolding: returns (WITH-clause text,
+    importance chain expr ``c0.c + … + cR.c``, join tail) so both final
+    SELECTs (_sql_crawl_opic_importance / _sql_crawl_opic_host_rank)
+    compose from the SAME rendered prefix — no rpartition string
+    surgery that a future trailing-subquery edit would silently
+    truncate (ADVICE r4)."""
     n = "(SELECT count(*) FROM nodes)"
     ctes = [
         f"""lk AS (SELECT * FROM '{_CRAWL_LINKS_PARQUET}'),
@@ -8801,8 +8804,16 @@ c0 AS (SELECT id, 1.0 / {n} AS c FROM nodes)"""
     joins = "\n".join(
         f"JOIN c{i} ON c{i}.id = c0.id" for i in range(1, OPIC_ITERS + 1)
     )
+    return "WITH " + ",\n".join(ctes), chain, joins
+
+
+def _sql_crawl_opic_importance() -> str:
+    """The cash recurrence unrolled as chained CTEs; importance is the
+    left-to-right average (c0 + ... + cR)/(R+1), matching the engine's
+    incremental history accumulation addition-for-addition."""
+    with_clause, chain, joins = _sql_crawl_opic_ctes()
     return (
-        "WITH " + ",\n".join(ctes)
+        with_clause
         + f"""
 SELECT c0.id AS url,
        round(({chain}) / {float(OPIC_ITERS + 1)!r}, 6) AS importance,
@@ -9578,15 +9589,12 @@ def q_crawl_opic_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_crawl_opic_host_rank() -> str:
-    base = _sql_crawl_opic_importance()
-    head, _, _ = base.rpartition("SELECT")
-    k = OPIC_ITERS
-    chain = " + ".join(f"c{i}.c" for i in range(k + 1))
-    joins = "\n".join(f"JOIN c{i} ON c{i}.id = c0.id" for i in range(1, k + 1))
+    with_clause, chain, joins = _sql_crawl_opic_ctes()
     return (
-        head
-        + f"""SELECT regexp_extract(c0.id, '{_HOST_RE}') AS domain,
-       round(sum(({chain}) / {float(k + 1)!r}), 6) AS rank
+        with_clause
+        + f"""
+SELECT regexp_extract(c0.id, '{_HOST_RE}') AS domain,
+       round(sum(({chain}) / {float(OPIC_ITERS + 1)!r}), 6) AS rank
 FROM c0
 {joins}
 GROUP BY domain

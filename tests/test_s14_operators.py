@@ -597,6 +597,33 @@ def test_ams_f2_accuracy_and_partition_invariance(spark):
     assert abs(e1 - exact) / exact < 0.75  # median-of-16 bound, generous
 
 
+def test_ams_f2_null_key_matches_sql_mirror(spark, tmp_path):
+    """A NULL key must fold into the SAME estimator bucket in Spark and
+    the DuckDB mirror (ADVICE r4: concat_ws skips NULLs while '||' of a
+    NULL yields NULL, so the two engines disagreed before the shared
+    AMS_NULL_KEY coalesce). Bit-for-bit f2_est equality over a table
+    that contains a NULL key proves the sentinel is applied on both
+    sides."""
+    import duckdb
+
+    from spacetime_crawler4_spark.operators.sketch import (
+        ams_f2_estimate,
+        ams_f2_sql,
+    )
+
+    rows = [("a", 5), ("b", 3), (None, 7), ("c", 2)]
+    df = spark.createDataFrame(rows, ["term", "tf"])
+    spark_est = ams_f2_estimate(df, "term", "tf").collect()[0]["f2_est"]
+
+    pq = str(tmp_path / "tf.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tf AS SELECT * FROM '{pq}/*.parquet'")
+    sql = f"WITH {ams_f2_sql('tf', 'term', 'tf')} SELECT f2_est FROM ams"
+    duck_est = con.sql(sql).fetchone()[0]
+    assert spark_est == duck_est
+
+
 # ----------------------------------------------------------------------
 # Poisson bootstrap
 # ----------------------------------------------------------------------

@@ -9,10 +9,12 @@ scale-dependent divergence a single-SF gate can miss (df-cap effects,
 overflow, rounding drift in bigger aggregates). Fixture-based crawl_*
 queries are SF-independent but re-checked anyway — they're cheap.
 
-Usage: python tools/parity_sweep.py [SF_DIR] [--skip name ...]
-Prints one line per query and a final JSON summary.
+Usage: python tools/parity_sweep.py [SF_DIR] [--skip name ...] [--only name ...]
+Flags and the positional SF_DIR compose in any order. Prints one line per
+query and a final JSON summary.
 """
 
+import argparse
 import json
 import math
 import sys
@@ -43,15 +45,14 @@ def _multiset(cols, rows):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    skip = set()
-    if "--skip" in sys.argv:
-        skip = set(sys.argv[sys.argv.index("--skip") + 1 :])
-    only = None
-    if "--only" in sys.argv:
-        only = set(sys.argv[sys.argv.index("--only") + 1 :])
-        args = [a for a in args if a not in only]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--skip", nargs="+", default=[], metavar="NAME")
+    ap.add_argument("--only", nargs="+", default=None, metavar="NAME")
+    ns = ap.parse_args()
+    skip = set(ns.skip)
+    only = set(ns.only) if ns.only is not None else None
+    sf_dir = ns.sf_dir
 
     from spacetime_crawler4_spark.queries import (
         SF_PINNED_ORACLES,
