@@ -67,7 +67,11 @@ HEADLINE = [
     "crawl_top50_parity_tokens",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
+    # dedup_simhash_pairs (32-bit) is intentionally NOT benched: it is the
+    # reference-parity plane, saturated by design (9.3% of all pairs are
+    # hamming-close at 32 bits on sf0.1 — see BASELINE.md), and the engine
+    # refuses it above simhash32_banded_max. The production representative
+    # is the 64-bit twin below, which ships the identical plan shape.
     "dedup_simhash64_pairs",
     "text_quality",
     "ann_bruteforce",
@@ -85,6 +89,14 @@ HEADLINE = [
     "text_nb_langid",
     "tpch_pricing",
     "tpch_top_customers",
+    # round-5 certification-window heavies: benched the same round their
+    # driver CORRECTNESS rows land, so correctness + perf evidence arrive
+    # together (VERDICT r4 next-round #3)
+    "crawl_trustrank",
+    "crawl_line_dedup",
+    "dedup_tfidf_cosine",
+    "text_kn_ppx",
+    "dedup_cdc_chunks",
 ]
 
 
