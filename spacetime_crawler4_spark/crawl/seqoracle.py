@@ -29,18 +29,23 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from urllib.robotparser import RobotFileParser
 
+import numpy as _np
 import pyarrow.parquet as pq
 
 from spacetime_crawler4_spark.crawl import schema as S
 from spacetime_crawler4_spark.crawl.schema import FINISH, STATUS, CrawlConfig
 from spacetime_crawler4_spark.functions.htmltext import extract_page
-from spacetime_crawler4_spark.functions.simhash import SIMHASH_THRESHOLD, hamming32, simhash32
+from spacetime_crawler4_spark.functions.simhash import SIMHASH_THRESHOLD, simhash32
 from spacetime_crawler4_spark.functions.tokenizer import tokenize, word_count
 from spacetime_crawler4_spark.functions.urls import (
     is_valid_url,
     normalize_url,
     rel_dirdepth,
 )
+
+# 16-bit popcount table for the vectorized simhash master scan (numpy 1.x
+# has no bitwise_count); popcount(x32) = _POP16[lo16] + _POP16[hi16]
+_POP16 = _np.array([bin(i).count("1") for i in range(1 << 16)], dtype=_np.uint8)
 
 
 @dataclass
@@ -118,6 +123,13 @@ class SeqCrawler:
         self.nap: dict[str, ONurl] = {}
         self.exdict: dict[str, str] = {}  # exhash -> master urlhash
         self.smlist: list[tuple[int, str]] = []  # (smhash, master urlhash), insertion order
+        # numpy mirror of smlist's hashes (capacity-doubling buffer): the
+        # per-page master scan is first-match-in-insertion-order, which the
+        # pure-Python loop does in O(n) Python ops per page — quadratic and
+        # hours-slow at the 95k-URL large corpus. The vectorized scan below
+        # computes the SAME first index with a C-speed xor+popcount pass.
+        self._smbuf = _np.zeros(1024, dtype=_np.uint32)
+        self._sm_n = 0
         self.domains: dict[str, dict] = {}  # domain -> {rparser, crawl_delay}
         self.visit_log: list[tuple[int, str, str]] = []  # (gen, seq, url)
         self.queue: list[str] = []  # urlhashes (fifo mode)
@@ -269,14 +281,32 @@ class SeqCrawler:
                 nurl.finish = FINISH.LOWINFO_POST
                 return True
             nurl.smhash = simhash32(words)
-            for h, mhash in self.smlist:  # insertion order (workerpipe.py:257-267)
-                if hamming32(h, nurl.smhash) <= SIMHASH_THRESHOLD:
-                    if mhash == nurl.urlhash:
-                        break
+            # first-match-in-insertion-order master scan
+            # (workerpipe.py:257-267), vectorized: xor against the numpy
+            # mirror, 16-bit-table popcount, first index ≤ threshold —
+            # bit-identical to the original `for h, mhash in self.smlist`
+            # loop (asserted by the engine-parity suite), hours faster at
+            # ~100k masters
+            hit = -1
+            if self._sm_n:
+                x = self._smbuf[: self._sm_n] ^ _np.uint32(nurl.smhash)
+                d = _POP16[x & 0xFFFF] + _POP16[x >> _np.uint32(16)]
+                hits = _np.flatnonzero(d <= SIMHASH_THRESHOLD)
+                if hits.size:
+                    hit = int(hits[0])
+            if hit >= 0:
+                if self.smlist[hit][1] != nurl.urlhash:
                     nurl.finish = FINISH.TOO_SIMILAR
                     return True
+                # matched its own master entry: not a dup, not re-appended
             else:
                 self.smlist.append((nurl.smhash, nurl.urlhash))
+                if self._sm_n == len(self._smbuf):
+                    self._smbuf = _np.concatenate(
+                        [self._smbuf, _np.zeros_like(self._smbuf)]
+                    )
+                self._smbuf[self._sm_n] = nurl.smhash
+                self._sm_n += 1
 
         # scraper (worker.py:108-115, scraper2.py:11-19)
         ordinal = 0

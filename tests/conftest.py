@@ -7,6 +7,27 @@ import pytest
 REF = "/root/reference"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (multi-minute end-to-end runs)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """``slow``-marked tests are excluded from the default run so the
+    standard gate stays fast (VERDICT r4 next-round #8); every one still
+    runs under ``pytest --runslow`` and none is removed from coverage."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def ref():
     """Import the reference's pure-Python helpers in-process (read-only).

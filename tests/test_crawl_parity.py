@@ -182,3 +182,49 @@ def test_resume_from_snapshot(spark, corpus_dir, tmp_path, engine_run):
     _w, tables, _m = SnapshotStore(state_dir).load_latest(spark)
     loaded_state = _engine_state(tables["frontier"])
     _compare_states(loaded_state, resumed_state, ignore=())
+
+
+@pytest.mark.slow
+def test_large_corpus_order_digest(spark):
+    """Crawl-order parity at the 95k-URL large bench corpus (VERDICT r4
+    next-round #6): the engine's (gen, seq) processed order must hash to
+    the digest committed by tools/large_order_digest.py, which ran the
+    sequential reference-semantics oracle (FIFO mode) over the same
+    deterministic corpus once. This extends the order-parity certificate
+    from the 24k fixture to the corpus the throughput story is told on,
+    without paying the oracle's wall time per test run."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    from tools.large_order_digest import LARGE_CORPUS, ensure_corpus, order_digest
+
+    expected = json.loads(
+        (Path(__file__).parent / "data" / "large_order_digest.json").read_text()
+    )
+    ensure_corpus()
+    import pyarrow.parquet as pq
+
+    from spacetime_crawler4_spark.sources.benchgen import BENCH_WHITELIST
+
+    seeds = [
+        r["url"]
+        for r in sorted(
+            pq.read_table(f"{LARGE_CORPUS}/seeds.parquet").to_pylist(),
+            key=lambda r: r["seq"],
+        )
+    ]
+    eng = CrawlEngine(
+        spark,
+        f"{LARGE_CORPUS}/pages.parquet",
+        f"{LARGE_CORPUS}/robots.parquet",
+        seeds,
+        CrawlConfig(whitelist=BENCH_WHITELIST),
+    )
+    state = _engine_state(eng.run())
+    assert len(state) == expected["n_state_rows"]
+    acc = 0
+    for h in state:
+        acc ^= int(h[:16], 16)
+    assert f"{acc:016x}" == expected["seen_urlhash_xor"]
+    assert order_digest(_processed_order(state)) == expected["order_sha256"]

@@ -308,9 +308,11 @@ class TestMarkovAndPareto:
     def test_transition_rows_sum_to_one(self, spark):
         import sys
         sys.path.insert(0, "/root/repo")
-        from spacetime_crawler4_spark.queries import pending_registry
+        # full surface, rotation-proof: the query moves from pending into
+        # the live registry once the driver window reaches it
+        from spacetime_crawler4_spark.queries import pending_registry, registry
 
-        fn, _ = pending_registry()["events_markov"]
+        fn, _ = {**registry(), **pending_registry()}["events_markov"]
         rows = fn(spark, "/root/testdata/sf0.001").collect()
         by_prev = {}
         for r in rows:
@@ -322,9 +324,9 @@ class TestMarkovAndPareto:
     def test_pareto_cumshare_monotone_to_one(self, spark):
         import sys
         sys.path.insert(0, "/root/repo")
-        from spacetime_crawler4_spark.queries import pending_registry
+        from spacetime_crawler4_spark.queries import pending_registry, registry
 
-        fn, _ = pending_registry()["tpch_revenue_pareto"]
+        fn, _ = {**registry(), **pending_registry()}["tpch_revenue_pareto"]
         rows = fn(spark, "/root/testdata/sf0.001").orderBy("decile").collect()
         shares = [r.cum_share for r in rows]
         assert shares == sorted(shares)
