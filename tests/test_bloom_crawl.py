@@ -3,12 +3,14 @@ engine with seen_bloom_fpp on == the plain-anti-join engine, row for row."""
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from spacetime_crawler4_spark.crawl.engine import CrawlEngine
 from spacetime_crawler4_spark.crawl.schema import CrawlConfig
 from spacetime_crawler4_spark.sources.fixture import FIXTURE_WHITELIST, SEED_URLS
 
 
+@pytest.mark.slow
 def test_bloom_prefilter_is_transparent(spark, corpus_dir, engine_frontier):
     eng = CrawlEngine(
         spark,
@@ -148,6 +150,7 @@ def test_seed_dedup_by_urlhash(spark, tmp_path):
     assert rows[0]["seq"] == "0000000"
 
 
+@pytest.mark.slow
 def test_simhash32_quadratic_guard_fires(spark, corpus_dir):
     """bits=32 + banded fallback above simhash32_banded_max must refuse
     with a message pointing at simhash_bits=64 (VERDICT r3 #5), and the

@@ -79,6 +79,7 @@ def test_transport_speaks_the_protocol(cache_server, corpus_dir):
     assert "IR US24 12345678" in seen_agents
 
 
+@pytest.mark.slow
 def test_cache_server_crawl_equals_corpus_join(spark, corpus_dir, cache_server):
     """Full engine crawl fetching ONLY through the cache server == the
     default corpus-join crawl (same frontier rows, same finish codes)."""

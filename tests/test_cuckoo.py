@@ -66,6 +66,7 @@ def test_partitioned_build_and_udf_probe(spark):
     assert fps < 300
 
 
+@pytest.mark.slow
 @pytest.mark.usefixtures("spark")
 def test_cuckoo_crawl_matches_plain(spark, tmp_path):
     from test_bloom_crawl import _TWIN_HOST, _write_twin_corpus

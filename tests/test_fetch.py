@@ -3,12 +3,15 @@ mapInPandas HTTP fetcher with a corpus-backed mock transport must produce
 the exact same crawl — every finish code, every row — as the corpus
 equi-join engine (reference crawler2/download.py:22-40 surface)."""
 
+import pytest
+
 from spacetime_crawler4_spark.crawl.engine import CrawlEngine
 from spacetime_crawler4_spark.crawl.fetch import corpus_transport, make_http_fetcher
 from spacetime_crawler4_spark.crawl.schema import CrawlConfig
 from spacetime_crawler4_spark.sources.fixture import FIXTURE_WHITELIST, SEED_URLS
 
 
+@pytest.mark.slow
 def test_http_fetcher_matches_corpus_join(spark, corpus_dir, engine_frontier):
     fetcher = make_http_fetcher(corpus_transport(f"{corpus_dir}/pages.parquet"))
     eng = CrawlEngine(

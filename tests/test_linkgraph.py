@@ -141,6 +141,7 @@ def test_committed_links_match_fresh_extraction(spark, corpus_dir):
         assert committed[c].to_pylist() == fresh[c].to_pylist(), f"column {c} drifted"
 
 
+@pytest.mark.slow
 def test_engine_links_sink_equals_posthoc_extraction(
     spark, corpus_dir, tmp_path_factory
 ):

@@ -4,6 +4,7 @@ resolved with the distributed round-based election must produce the exact
 same frontier as the one-pass driver greedy (VERDICT r1 'What's wrong' #1).
 """
 
+import pytest
 import random
 
 import pyarrow as pa
@@ -136,6 +137,7 @@ def test_vectorized_fast_path_matches_banded(spark, tmp_path):
         assert a == c, c["url"]
 
 
+@pytest.mark.slow
 def test_64bit_production_plane(spark, tmp_path):
     """simhash_bits=64 (production plane): identical pages still collapse
     (equal word maps hash equal at any width), and the engine's state

@@ -70,6 +70,7 @@ def test_windowed_event_counts(spark, drops_dir, tmp_path):
     assert all(r["total_tokens"] >= 0 for r in rows)
 
 
+@pytest.mark.slow
 def test_incremental_crawl_foreachbatch(spark, corpus_dir, tmp_path, engine_frontier):
     """Seeds arriving as a stream reproduce the batch crawl's final
     frontier (same corpus, same seeds, state in the snapshot store)."""

@@ -2,11 +2,13 @@
 admitted pages' canonical extracted text, and the manifest parquet is a
 working CDX (ranged reads reproduce every record)."""
 
+import pytest
 import duckdb
 
 from spacetime_crawler4_spark.queries import _CRAWL_PAGETEXT_PARQUET
 
 
+@pytest.mark.slow
 def test_crawl_cli_wet_export_matches_committed_pagetext(
     spark, corpus_dir, tmp_path
 ):
