@@ -16,6 +16,8 @@ contract is: retry-free crawls match the FIFO oracle exactly
 (this test + budget-parity suite).
 """
 
+import pytest
+
 from spacetime_crawler4_spark.crawl.engine import CrawlEngine
 from spacetime_crawler4_spark.crawl.schema import FINISH, CrawlConfig
 from spacetime_crawler4_spark.crawl.seqoracle import SeqCrawler
@@ -103,6 +105,7 @@ def test_wave_retry_loopback_elects_y(tmp_path):
     assert st[f"{DOM}/x.html"]["finish"] == FINISH.TOO_SIMILAR
 
 
+@pytest.mark.slow
 def test_engine_matches_wave_oracle_exactly(spark, tmp_path):
     tmp = str(tmp_path)
     seeds = _corpus(tmp)

@@ -2,9 +2,12 @@
 one wave per invocation against the snapshot store; repeated --step
 --resume invocations advance the crawl wave by wave."""
 
+import pytest
+
 from spacetime_crawler4_spark.crawl.run import main as run_main
 
 
+@pytest.mark.slow
 def test_step_mode_advances_one_wave_per_call(spark, corpus_dir, tmp_path, capsys):
     state = str(tmp_path / "state")
     args = [
