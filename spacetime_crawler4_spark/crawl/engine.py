@@ -179,6 +179,10 @@ class CrawlEngine:
         self._seen_sketch: dict | None = None
         # build/merge counters (tests + bench introspection)
         self.sketch_stats: dict[str, int] = {"full_builds": 0, "delta_merges": 0}
+        # superseded eager checkpoints whose release must wait for the
+        # store's lazily-written _pending delta frames (see _retire);
+        # entries are (wave_no at retirement, frame)
+        self._retire_after_commit: list[tuple[int, DataFrame]] = []
 
     # ------------------------------------------------------------- state
     def init_state(self, resume: bool = False) -> None:
@@ -1194,6 +1198,12 @@ class CrawlEngine:
         ``self.election_stats`` (asserted by the adversarial-chain test).
         """
         spark = self.spark
+        # every eager checkpoint this method creates is superseded by the
+        # end of the call (each consumer is itself an eager checkpoint or
+        # a count) except the returned dups frame; all are queued on
+        # _retire at the end so a long crawl's election rounds do not
+        # accumulate blocks (see _retire)
+        chain: list[DataFrame] = []
         edges = pairs.select(
             F.col("ha").alias("src"), F.col("hx").alias("dst")
         ).localCheckpoint(eager=True)
@@ -1203,6 +1213,7 @@ class CrawlEngine:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        chain += [edges, und]
         masters = spark.createDataFrame([], "urlhash string")
         dups = spark.createDataFrame([], "urlhash string")
         stats = {"outer_rounds": 0, "doubling_steps": 0}
@@ -1220,16 +1231,19 @@ class CrawlEngine:
             und2 = und.join(dup_now, "urlhash", "left_anti").localCheckpoint(
                 eager=True
             )
+            chain.append(und2)
             # 2. in-degree over the undecided-only subgraph
             live = (
                 edges.join(und2, edges.src == und2.urlhash, "left_semi")
                 .join(und2, edges.dst == und2.urlhash, "left_semi")
                 .localCheckpoint(eager=True)
             )
+            chain.append(live)
             indeg = live.groupBy("dst").agg(F.count("*").alias("deg"))
             roots = und2.join(
                 indeg, und2.urlhash == indeg.dst, "left_anti"
             ).localCheckpoint(eager=True)
+            chain.append(roots)
             # 3. wait-chain forest: indeg-1 nodes point at their single
             # undecided earlier neighbor
             ptr = (
@@ -1239,6 +1253,7 @@ class CrawlEngine:
                 .select(F.col("dst").alias("v"), F.col("src").alias("t"))
                 .localCheckpoint(eager=True)
             )
+            chain.append(ptr)
             # pointer doubling: follow t through ptr until it leaves the
             # forest (terminal = root / blocked / dup_now node). d = path
             # length; each step at most doubles it.
@@ -1262,6 +1277,7 @@ class CrawlEngine:
                     )
                     .localCheckpoint(eager=True)
                 )
+                chain.append(P)
                 # done when every pointer rests on a terminal (a node with
                 # no outgoing ptr — not in the forest's key set)
                 if (
@@ -1289,8 +1305,16 @@ class CrawlEngine:
                 .join(new_dups, "urlhash", "left_anti")
                 .localCheckpoint(eager=True)
             )
+            chain += [masters, dups, und]
             prev, n_und = n_und, und.count()
             assert n_und < prev, "simhash election made no progress"
+        # the final dups frame is still to be consumed by this wave's
+        # frontier materialization (and, with a store, by _pending) —
+        # _retire defers each frame to the mode-appropriate release point
+        for df in chain:
+            if df is not dups:
+                self._retire(df)
+        self._retire(dups)
         return dups
 
     # ----------------------------------------------------------- the loop
@@ -1314,7 +1338,9 @@ class CrawlEngine:
             wave = self._select_wave(pending).localCheckpoint(eager=True)
             n = wave.count()
             if n == 0:
+                wave.unpersist()  # nothing consumed it beyond the count
                 break
+            self._retire(self.last_wave)  # superseded previous wave frame
             self.last_wave = wave
             self._wave_n = n
             _t1 = time.time()
@@ -1350,12 +1376,17 @@ class CrawlEngine:
             )
             # the single materialization point of the wave (snapshot commit
             # analogue): everything upstream lands here once
+            old_frontier = self.frontier
             self.frontier = (
                 untouched.unionByName(updates)
                 .unionByName(inserts)
                 .repartition(self._nparts, "urlhash")
                 .localCheckpoint(eager=True)
             )
+            # the eager checkpoint above has consumed `untouched` (the only
+            # frontier-chain reader); queue the superseded snapshot's
+            # blocks for the mode-appropriate release point
+            self._retire(old_frontier)
             _t2 = time.time()
             counters["n_wave"] = n
             counters.update({k: v for k, v in obs.get.items() if v})
@@ -1397,6 +1428,34 @@ class CrawlEngine:
             self.wave_no += 1
         return self.frontier
 
+    def _retire(self, df: DataFrame | None) -> None:
+        """Queue a SUPERSEDED eager localCheckpoint for block release.
+
+        Without this, a long crawl accumulates every wave's frontier /
+        wave / election checkpoints in the block manager until broadcasts
+        start failing ("Not enough memory to build and broadcast") — the
+        unbounded-storage defect a 10^10-URL frontier cannot carry.
+        Checkpoint blocks are NOT recomputable (lineage is truncated), so
+        release must happen strictly after the last lazy consumer
+        materializes:
+
+        - with a snapshot store, the _pending delta frames reference wave
+          outputs lazily until _commit_state writes them, AND the lazy
+          state-table chains (sim_index etc.) may first materialize during
+          the NEXT wave's probe — so release happens at a commit, and only
+          for frames retired on a STRICTLY EARLIER wave (both conditions
+          are then satisfied: pending drained, next-wave probes done);
+        - without one, every consumer materializes by the end of the NEXT
+          wave (the same invariant the _prev_wave_caches release already
+          relies on), so the superseded frame rides that list.
+        """
+        if df is None:
+            return
+        if self.store is not None:
+            self._retire_after_commit.append((self.wave_no, df))
+        else:
+            self._wave_caches.append(df)
+
     def _commit_state(self) -> None:
         """Commit pending wave deltas: a delta commit (O(touched rows))
         normally; a full base snapshot for the first commit and every
@@ -1437,3 +1496,13 @@ class CrawlEngine:
                 merged[name] = u.drop("_dwave")
             store.commit_delta(self.wave_no, merged, self.metrics)
         self._pending = []
+        # safe release point (see _retire): pending is drained and every
+        # frame retired on a strictly earlier wave has had its next-wave
+        # consumers materialize
+        keep: list[tuple[int, DataFrame]] = []
+        for wno, df in self._retire_after_commit:
+            if wno < self.wave_no:
+                df.unpersist()
+            else:
+                keep.append((wno, df))
+        self._retire_after_commit = keep
